@@ -1,0 +1,331 @@
+"""Static-shape graph containers — the TPU-native replacement for PyG Data.
+
+Design (SURVEY.md §7): every mesh is padded to a fixed ``GraphSpec`` decided at
+dataset-build time. Scale-major layout: nodes/edges of scale 0 (finest) come
+first, then scale 1, ... so a scale is a *static* contiguous range — this
+replaces the reference's runtime ptr surgery (reference training/train.py:31-65)
+with compile-time slices. Batching is a leading batch axis + ``jax.vmap``
+(every graph shares one spec), which is also the data-parallel sharding axis.
+
+Padded entries:
+- padded nodes have ``node_mask == 0``; their features are zero.
+- padded edges point at the first node of their scale with ``edge_mask == 0``;
+  messages are multiplied by the mask so they contribute exactly zero.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mswe_gnn_tpu import NUM_WATER_VARS
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class GraphSpec:
+    """Static (hashable) shape metadata for a padded multiscale graph.
+
+    Mirrors the information the reference keeps in ``node_ptr``/``edge_ptr``/
+    ``intra_edge_ptr`` (reference database/graph_creation.py:967-978) but as
+    compile-time constants.
+
+    All counts are the *padded* per-scale sizes, finest scale first.
+    """
+    node_counts: Tuple[int, ...]          # padded nodes per scale
+    edge_counts: Tuple[int, ...]          # padded dual-graph edges per scale
+    intra_edge_counts: Tuple[int, ...]    # padded transfer edges between scale i and i+1
+    num_bc: int                           # padded number of ghost (BC) nodes
+
+    @property
+    def num_scales(self) -> int:
+        return len(self.node_counts)
+
+    @property
+    def num_nodes(self) -> int:
+        return int(sum(self.node_counts))
+
+    @property
+    def num_edges(self) -> int:
+        return int(sum(self.edge_counts))
+
+    @property
+    def num_intra_edges(self) -> int:
+        return int(sum(self.intra_edge_counts))
+
+    @property
+    def node_ptr(self) -> Tuple[int, ...]:
+        return tuple(np.cumsum([0, *self.node_counts]).tolist())
+
+    @property
+    def edge_ptr(self) -> Tuple[int, ...]:
+        return tuple(np.cumsum([0, *self.edge_counts]).tolist())
+
+    @property
+    def intra_edge_ptr(self) -> Tuple[int, ...]:
+        return tuple(np.cumsum([0, *self.intra_edge_counts]).tolist())
+
+    def node_slice(self, scale: int) -> slice:
+        p = self.node_ptr
+        return slice(p[scale], p[scale + 1])
+
+    def edge_slice(self, scale: int) -> slice:
+        p = self.edge_ptr
+        return slice(p[scale], p[scale + 1])
+
+    def intra_edge_slice(self, level: int) -> slice:
+        p = self.intra_edge_ptr
+        return slice(p[level], p[level + 1])
+
+
+def _pad_to(x: np.ndarray, n: int, axis: int = 0, fill=0) -> np.ndarray:
+    """Pad ``x`` with ``fill`` along ``axis`` up to length ``n``."""
+    cur = x.shape[axis]
+    if cur > n:
+        raise ValueError(f"cannot pad axis {axis} of length {cur} down to {n}")
+    if cur == n:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, n - cur)
+    return np.pad(x, widths, constant_values=fill)
+
+
+def round_up(n: int, multiple: int) -> int:
+    return int(-(-n // multiple) * multiple)
+
+
+@struct.dataclass
+class FloodGraph:
+    """One padded (multiscale) flood-mesh sample as a JAX pytree.
+
+    Corresponds to one reference temporal sample (reference
+    utils/dataset.py:410-471) plus the static mesh attributes. Fields ending in
+    ``_mask`` are 1.0 for real entries, 0.0 for padding.
+
+    Per-sample arrays (no batch axis; batching = leading vmap axis):
+    - ``x_static [N, S]``     static node features (slopes/area/DEM selection)
+    - ``x_dynamic [N, 2*previous_t]`` interleaved (h, |q|) past steps
+    - ``y [N, 2, T]``         ground-truth future steps (optional)
+    - ``edge_index [2, E]``   dual-graph COO, destination-sorted per scale
+    - ``edge_attr [E, Fe]``   static edge features
+    - ``intra_edge_index [2, EI]`` rows = (coarse idx, fine idx) as in the
+       reference (models/gnn.py:310: ``col_coarse, row_fine = intra_mesh_edge_index``)
+    - ``bc_nodes [Nbc]`` ghost-cell node ids; ``bc_values [Nbc, T+1]`` inflow
+      per ghost node already divided by BC-edge length (reference
+      utils/dataset.py:275); ``bc_kind`` static (1=depth, 2=discharge)
+    - ``area [N]``, ``dem [N]`` physical fields used by losses/metrics
+    """
+    # --- dynamic (traced) leaves ---
+    x_static: jax.Array
+    x_dynamic: jax.Array
+    edge_index: jax.Array
+    edge_attr: jax.Array
+    node_mask: jax.Array
+    edge_mask: jax.Array
+    intra_edge_index: jax.Array
+    intra_edge_mask: jax.Array
+    bc_nodes: jax.Array
+    bc_mask: jax.Array
+    bc_values: jax.Array
+    bc_edge_length: jax.Array
+    area: jax.Array
+    dem: jax.Array
+    y: Optional[jax.Array] = None
+
+    # --- static (aux) fields ---
+    spec: GraphSpec = struct.field(pytree_node=False, default=None)
+    previous_t: int = struct.field(pytree_node=False, default=1)
+    bc_kind: int = struct.field(pytree_node=False, default=2)
+    temporal_res: float = struct.field(pytree_node=False, default=60.0)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x_static.shape[-2]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edge_index.shape[-1]
+
+    @property
+    def src(self) -> jax.Array:
+        return self.edge_index[0]
+
+    @property
+    def dst(self) -> jax.Array:
+        return self.edge_index[1]
+
+    def finest_slice(self) -> slice:
+        return self.spec.node_slice(0)
+
+    def replace_dynamic(self, x_dynamic: jax.Array) -> "FloodGraph":
+        return self.replace(x_dynamic=x_dynamic)
+
+
+def build_flood_graph(
+    *,
+    x_static: np.ndarray,
+    x_dynamic: np.ndarray,
+    edge_index: np.ndarray,
+    edge_attr: np.ndarray,
+    spec: GraphSpec,
+    raw_node_counts: Tuple[int, ...],
+    raw_edge_counts: Tuple[int, ...],
+    intra_edge_index: Optional[np.ndarray] = None,
+    raw_intra_edge_counts: Tuple[int, ...] = (),
+    bc_nodes: Optional[np.ndarray] = None,
+    bc_values: Optional[np.ndarray] = None,
+    bc_edge_length: Optional[np.ndarray] = None,
+    bc_kind: int = 2,
+    area: Optional[np.ndarray] = None,
+    dem: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+    previous_t: int = 1,
+    temporal_res: float = 60.0,
+    dtype=np.float32,
+) -> FloodGraph:
+    """Assemble a padded ``FloodGraph`` from raw (unpadded, scale-major) arrays.
+
+    ``raw_*_counts`` give the true per-scale sizes before padding; node and
+    edge indices in the raw arrays must already refer to the *raw* scale-major
+    node numbering — they are remapped to the padded numbering here.
+    """
+    ns = spec.num_scales
+    assert len(raw_node_counts) == ns and len(raw_edge_counts) == ns
+
+    raw_node_ptr = np.cumsum([0, *raw_node_counts])
+    pad_node_ptr = np.asarray(spec.node_ptr)
+
+    # raw node id -> padded node id (per-scale offset shift)
+    total_raw_nodes = int(raw_node_ptr[-1])
+    node_remap = np.zeros(total_raw_nodes, dtype=np.int64)
+    for s in range(ns):
+        raw_ids = np.arange(raw_node_ptr[s], raw_node_ptr[s + 1])
+        node_remap[raw_ids] = raw_ids - raw_node_ptr[s] + pad_node_ptr[s]
+
+    N = spec.num_nodes
+    node_mask = np.zeros(N, dtype=dtype)
+    for s in range(ns):
+        node_mask[pad_node_ptr[s]: pad_node_ptr[s] + raw_node_counts[s]] = 1.0
+
+    def pad_nodes(arr, name):
+        if arr is None:
+            return None
+        arr = np.asarray(arr)
+        out_shape = (N,) + arr.shape[1:]
+        out = np.zeros(out_shape, dtype=dtype)
+        for s in range(ns):
+            r0, r1 = raw_node_ptr[s], raw_node_ptr[s + 1]
+            p0 = pad_node_ptr[s]
+            out[p0: p0 + (r1 - r0)] = arr[r0:r1]
+        return out
+
+    x_static_p = pad_nodes(x_static, "x_static")
+    x_dynamic_p = pad_nodes(x_dynamic, "x_dynamic")
+    area_p = pad_nodes(area if area is not None else np.ones(total_raw_nodes), "area")
+    dem_p = pad_nodes(dem if dem is not None else np.zeros(total_raw_nodes), "dem")
+    y_p = pad_nodes(y, "y") if y is not None else None
+
+    # --- edges: per-scale pad; padded edges self-loop on the scale's first node
+    raw_edge_ptr = np.cumsum([0, *raw_edge_counts])
+    pad_edge_ptr = np.asarray(spec.edge_ptr)
+    E = spec.num_edges
+    ei = np.zeros((2, E), dtype=np.int32)
+    ea = np.zeros((E,) + edge_attr.shape[1:], dtype=dtype)
+    emask = np.zeros(E, dtype=dtype)
+    for s in range(ns):
+        r0, r1 = raw_edge_ptr[s], raw_edge_ptr[s + 1]
+        p0 = pad_edge_ptr[s]
+        n = r1 - r0
+        block = node_remap[edge_index[:, r0:r1]]
+        # destination-sort within the scale for sorted segment reductions
+        order = np.argsort(block[1], kind="stable")
+        ei[:, p0: p0 + n] = block[:, order]
+        ea[p0: p0 + n] = edge_attr[r0:r1][order]
+        emask[p0: p0 + n] = 1.0
+        # padding edges: masked self-loops on the scale's last node id, which
+        # keeps per-scale dst ascending (real dsts are <= last)
+        ei[:, p0 + n: pad_edge_ptr[s + 1]] = pad_node_ptr[s + 1] - 1
+
+    # --- intra (transfer) edges
+    EI = spec.num_intra_edges
+    if EI > 0:
+        assert intra_edge_index is not None
+        raw_ie_ptr = np.cumsum([0, *raw_intra_edge_counts])
+        pad_ie_ptr = np.asarray(spec.intra_edge_ptr)
+        iei = np.zeros((2, max(EI, 1)), dtype=np.int32)
+        iemask = np.zeros(max(EI, 1), dtype=dtype)
+        for lvl in range(ns - 1):
+            r0, r1 = raw_ie_ptr[lvl], raw_ie_ptr[lvl + 1]
+            p0 = pad_ie_ptr[lvl]
+            n = r1 - r0
+            block = node_remap[intra_edge_index[:, r0:r1]]
+            order = np.argsort(block[0], kind="stable")  # sorted by coarse (dst)
+            iei[:, p0: p0 + n] = block[:, order]
+            iemask[p0: p0 + n] = 1.0
+            anchor = pad_node_ptr[lvl + 2] - 1  # last node of the coarse scale
+            iei[0, p0 + n: pad_ie_ptr[lvl + 1]] = anchor
+            iei[1, p0 + n: pad_ie_ptr[lvl + 1]] = pad_node_ptr[lvl + 1] - 1
+    else:
+        iei = np.zeros((2, 1), dtype=np.int32)
+        iemask = np.zeros(1, dtype=dtype)
+
+    # --- boundary condition nodes
+    nbc = spec.num_bc
+    if bc_nodes is not None:
+        raw_nbc = len(bc_nodes)
+        bcn = np.zeros(nbc, dtype=np.int32)
+        bcn[:raw_nbc] = node_remap[np.asarray(bc_nodes, dtype=np.int64)]
+        bcm = np.zeros(nbc, dtype=dtype)
+        bcm[:raw_nbc] = 1.0
+        T1 = bc_values.shape[1]
+        bcv = np.zeros((nbc, T1), dtype=dtype)
+        bcv[:raw_nbc] = bc_values
+        bel = np.ones(nbc, dtype=dtype)
+        if bc_edge_length is not None:
+            bel[:raw_nbc] = bc_edge_length
+    else:
+        bcn = np.zeros(nbc, dtype=np.int32)
+        bcm = np.zeros(nbc, dtype=dtype)
+        bcv = np.zeros((nbc, 1), dtype=dtype)
+        bel = np.ones(nbc, dtype=dtype)
+
+    return FloodGraph(
+        x_static=jnp.asarray(x_static_p),
+        x_dynamic=jnp.asarray(x_dynamic_p),
+        edge_index=jnp.asarray(ei),
+        edge_attr=jnp.asarray(ea),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(emask),
+        intra_edge_index=jnp.asarray(iei),
+        intra_edge_mask=jnp.asarray(iemask),
+        bc_nodes=jnp.asarray(bcn),
+        bc_mask=jnp.asarray(bcm),
+        bc_values=jnp.asarray(bcv),
+        bc_edge_length=jnp.asarray(bel),
+        area=jnp.asarray(area_p),
+        dem=jnp.asarray(dem_p),
+        y=jnp.asarray(y_p) if y_p is not None else None,
+        spec=spec,
+        previous_t=previous_t,
+        bc_kind=int(bc_kind),
+        temporal_res=float(temporal_res),
+    )
+
+
+def stack_graphs(graphs) -> FloodGraph:
+    """Stack same-spec graphs along a new leading batch axis (vmap batching).
+
+    The TPU replacement for PyG ``Batch`` + the reference's multiscale ptr
+    surgery (reference training/train.py:14-65): identical static specs mean
+    batching is a pure ``tree_map(stack)``.
+    """
+    g0 = graphs[0]
+    for g in graphs[1:]:
+        if g.spec != g0.spec:
+            raise ValueError("all graphs in a batch must share one GraphSpec")
+        if g.previous_t != g0.previous_t or g.bc_kind != g0.bc_kind:
+            raise ValueError("all graphs in a batch must share static settings")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *graphs)

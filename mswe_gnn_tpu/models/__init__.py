@@ -1,0 +1,3 @@
+from mswe_gnn_tpu.models.registry import get_model, build_model
+
+__all__ = ["get_model", "build_model"]

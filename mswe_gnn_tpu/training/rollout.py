@@ -1,0 +1,85 @@
+"""Autoregressive rollout as ``jax.lax.scan`` with a donated dynamic carry.
+
+TPU-native replacement for the reference's Python rollout loops
+(training rollout: reference training/train.py:125-145; inference rollout:
+reference training/train.py:67-95). The carry is the dynamic node-feature
+window; boundary-condition injection and the shift-by-prediction update
+(reference utils/dataset.py:486-529) are functional updates on the carry.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from mswe_gnn_tpu import NUM_WATER_VARS
+from mswe_gnn_tpu.graph import FloodGraph
+
+
+def bc_window(graph: FloodGraph, step: jax.Array) -> jax.Array:
+    """BC values seen by the ``previous_t`` input steps at rollout ``step``.
+
+    ``graph.bc_values`` holds the dry-bed-padded series [Nbc, previous_t + T];
+    window r is columns r .. r+previous_t-1 (reference utils/dataset.py:349-356,
+    430, 456).
+    """
+    return jax.lax.dynamic_slice_in_dim(
+        graph.bc_values, step, graph.previous_t, axis=1)
+
+
+def bc_midpoint(graph: FloodGraph, step: jax.Array) -> jax.Array:
+    """Mean of the last two BC entries of window ``step + 1`` — the value used
+    by the conservation loss (reference training/train.py:138: ``BC[:,-2:,i+1].mean(1)``)."""
+    w = bc_window(graph, step + 1)
+    return w[:, -2:].mean(axis=1)
+
+
+def inject_bc(x_dynamic: jax.Array, graph: FloodGraph, window: jax.Array) -> jax.Array:
+    """Write BC values into the ghost-cell rows of the dynamic features
+    (reference utils/dataset.py:486-497).
+
+    ``window`` is [Nbc, previous_t]; the (bc_kind-1)-th interleaved column of
+    every input step is overwritten for real (non-padded) ghost nodes. Padded
+    ghost rows may alias node 0, so the update blends with the existing value
+    under the bc mask instead of writing unconditionally.
+    """
+    col = graph.bc_kind - 1
+    cur = x_dynamic[graph.bc_nodes][:, col::NUM_WATER_VARS]  # [Nbc, previous_t]
+    new = jnp.where(graph.bc_mask[:, None] > 0, window, cur)
+    return x_dynamic.at[graph.bc_nodes, col::NUM_WATER_VARS].set(new)
+
+
+def shift_prediction(x_dynamic: jax.Array, pred: jax.Array, previous_t: int) -> jax.Array:
+    """Drop the oldest input step, append the prediction
+    (reference utils/dataset.py:508-529)."""
+    if previous_t == 1:
+        return pred
+    return jnp.concatenate([x_dynamic[:, NUM_WATER_VARS:], pred], axis=-1)
+
+
+def rollout(
+    apply_fn: Callable,
+    params,
+    cfg,
+    graph: FloodGraph,
+    steps: int,
+) -> jax.Array:
+    """Full autoregressive rollout -> predictions [N, 2, steps].
+
+    Equivalent to the reference ``rollout_test`` (training/train.py:67-95) but
+    compiled as one scan; the dynamic carry buffer is donated by XLA.
+    """
+    def step_fn(x_dyn, t):
+        x_dyn = inject_bc(x_dyn, graph, bc_window(graph, t))
+        pred = apply_fn(params, cfg, graph.replace(x_dynamic=x_dyn))
+        x_next = shift_prediction(x_dyn, pred, graph.previous_t)
+        return x_next, pred
+
+    _, preds = jax.lax.scan(step_fn, graph.x_dynamic, jnp.arange(steps))
+    return jnp.moveaxis(preds, 0, -1)  # [N, 2, steps]
+
+
+def rollout_batch(apply_fn, params, cfg, batch: FloodGraph, steps: int) -> jax.Array:
+    """Rollout a stacked batch -> [B, N, 2, steps]."""
+    return jax.vmap(lambda g: rollout(apply_fn, params, cfg, g, steps))(batch)

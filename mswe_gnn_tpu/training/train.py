@@ -1,0 +1,248 @@
+"""Jitted training: pushforward rollout loss, AdamW + StepLR, curriculum.
+
+Re-design of the reference Lightning trainer (reference training/train.py:97-251):
+- ``training_step``'s Python unroll becomes a ``lax.scan`` over rollout steps
+  inside one jitted function; pushforward curriculum selects among a handful
+  of compiled scan lengths (one per distinct ``rollout_steps``).
+- AdamW + StepLR + gradient clip 1.0 (reference training/train.py:147-155,
+  main.py:109-110) via optax.
+- validation = full scan rollout + masked rollout loss + CSI (reference
+  training/train.py:157-180).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mswe_gnn_tpu.graph import FloodGraph, stack_graphs
+from mswe_gnn_tpu.training import loss as loss_lib
+from mswe_gnn_tpu.training.rollout import (
+    bc_midpoint,
+    bc_window,
+    inject_bc,
+    rollout_batch,
+    shift_prediction,
+)
+from mswe_gnn_tpu.utils.metrics import get_csi, get_rollout_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerOptions:
+    """Mirrors the ``trainer_options`` + ``lr_info`` config groups
+    (reference config.yaml:60-75)."""
+    type_loss: str = "RMSE"
+    only_where_water: bool = True
+    batch_size: int = 4
+    conservation: float = 0.0
+    velocity_scaler: float = 1.0
+    curriculum_epoch: int = 20
+    patience: int = 100
+    max_epochs: int = 200
+    max_rollout_steps: int = 6
+    learning_rate: float = 3e-3
+    weight_decay: float = 0.0
+    gamma: float = 0.7
+    step_size: int = 20
+    grad_clip: float = 1.0
+    seed: int = 42
+
+
+def make_optimizer(opts: TrainerOptions, steps_per_epoch: int):
+    """AdamW with epoch-staircase StepLR decay and global-norm clipping."""
+    schedule = optax.exponential_decay(
+        init_value=opts.learning_rate,
+        transition_steps=max(1, opts.step_size * steps_per_epoch),
+        decay_rate=opts.gamma,
+        staircase=True,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(opts.grad_clip),
+        optax.adamw(schedule, weight_decay=opts.weight_decay),
+    )
+
+
+def curriculum_rollout_steps(epoch: int, opts: TrainerOptions) -> int:
+    """Pushforward curriculum (reference training/train.py:231-241)."""
+    if opts.curriculum_epoch == 0:
+        return opts.max_rollout_steps
+    return min(epoch // opts.curriculum_epoch + 1, opts.max_rollout_steps)
+
+
+def pushforward_loss(
+    apply_fn: Callable,
+    params,
+    cfg,
+    batch: FloodGraph,
+    rollout_steps: int,
+    opts: TrainerOptions,
+    multiscale: bool,
+) -> jax.Array:
+    """Mean over rollout steps of the batch-aggregated step loss
+    (reference training/train.py:125-145)."""
+
+    def per_graph(g: FloodGraph):
+        def step_fn(x_dyn, t):
+            x_dyn = inject_bc(x_dyn, g, bc_window(g, t))
+            gt = g.replace(x_dynamic=x_dyn)
+            pred = apply_fn(params, cfg, gt)
+            target = jax.lax.dynamic_index_in_dim(g.y, t, axis=-1, keepdims=False)
+            sums, count, cons = loss_lib.step_loss_sums(
+                pred, target, gt,
+                type_loss=opts.type_loss,
+                only_where_water=opts.only_where_water,
+                multiscale=multiscale,
+                bc_now=bc_midpoint(g, t) if opts.conservation != 0.0 else None,
+                conservation=opts.conservation,
+            )
+            x_next = shift_prediction(x_dyn, pred, g.previous_t)
+            return x_next, (sums, count, cons)
+
+        _, (sums, counts, cons) = jax.lax.scan(
+            step_fn, g.x_dynamic, jnp.arange(rollout_steps))
+        return sums, counts, cons  # [T,2], [T], [T]
+
+    sums, counts, cons = jax.vmap(per_graph)(batch)   # [B,T,2], [B,T], [B,T]
+    err = loss_lib.finalize_error(sums.sum(0), counts.sum(0)[:, None], opts.type_loss)  # [T,2]
+    scaler = loss_lib.loss_variable_scaler(opts.velocity_scaler)
+    per_step = err @ scaler / scaler.sum()            # [T]
+    if opts.conservation != 0.0:
+        per_step = per_step + opts.conservation * jnp.abs(cons.mean(0))
+    return per_step.mean()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "cfg", "rollout_steps", "opts", "multiscale", "optimizer"),
+    donate_argnames=("params", "opt_state"))
+def train_step(params, opt_state, batch: FloodGraph, *, apply_fn, cfg,
+               rollout_steps: int, opts: TrainerOptions, multiscale: bool,
+               optimizer):
+    loss, grads = jax.value_and_grad(
+        lambda p: pushforward_loss(apply_fn, p, cfg, batch, rollout_steps,
+                                   opts, multiscale))(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "steps", "opts",
+                                             "multiscale"))
+def eval_step(params, batch: FloodGraph, *, apply_fn, cfg, steps: int,
+              opts: TrainerOptions, multiscale: bool):
+    """Full-rollout validation metrics (reference training/train.py:157-180).
+
+    Metrics are computed on the finest scale only for multiscale graphs.
+    """
+    preds = rollout_batch(apply_fn, params, cfg, batch, steps)  # [B,N,2,T]
+    real = batch.y[..., :steps]
+    if multiscale:
+        fs = batch.spec.node_slice(0)
+        preds = preds[:, fs]
+        real = real[:, fs]
+        nmask = batch.node_mask[:, fs]
+    else:
+        nmask = batch.node_mask
+    val_loss = get_rollout_loss(preds, real, nmask, type_loss=opts.type_loss,
+                                only_where_water=opts.only_where_water).mean()
+    csi005 = get_csi(preds, real, nmask, water_threshold=0.05)
+    csi03 = get_csi(preds, real, nmask, water_threshold=0.3)
+    return {"val_loss": val_loss,
+            "val_CSI_005": jnp.nanmean(csi005),
+            "val_CSI_03": jnp.nanmean(csi03)}
+
+
+class Trainer:
+    """Minimal experiment driver: curriculum fit + validation + early stop.
+
+    Host-side replacement for Lightning (reference main.py:87-126): batches
+    are same-spec stacked graphs, all device work happens in the two jitted
+    step functions above.
+    """
+
+    def __init__(self, apply_fn, cfg, params, opts: TrainerOptions,
+                 train_graphs: List[FloodGraph], val_graphs: List[FloodGraph],
+                 multiscale: bool = True, log_fn: Optional[Callable] = None):
+        self.apply_fn = apply_fn
+        self.cfg = cfg
+        self.params = params
+        self.opts = opts
+        self.train_graphs = train_graphs
+        self.val_graphs = val_graphs
+        self.multiscale = multiscale
+        self.steps_per_epoch = max(1, len(train_graphs) // opts.batch_size)
+        self.optimizer = make_optimizer(opts, self.steps_per_epoch)
+        self.opt_state = self.optimizer.init(params)
+        self.rng = np.random.default_rng(opts.seed)
+        self.log_fn = log_fn or (lambda m: None)
+        self.history: List[Dict] = []
+        self.best_params = params
+        self.best_val_loss = float("inf")
+        self.best_val_csi = -float("inf")
+
+    def _batches(self, graphs, batch_size, shuffle):
+        idx = np.arange(len(graphs))
+        if shuffle:
+            self.rng.shuffle(idx)
+        for i in range(0, len(idx) - batch_size + 1, batch_size):
+            yield stack_graphs([graphs[j] for j in idx[i:i + batch_size]])
+        rem = len(idx) % batch_size
+        if rem and len(idx) >= batch_size:
+            pass  # drop ragged tail: static batch shapes (last partial batch skipped)
+        elif rem:
+            yield stack_graphs([graphs[j] for j in idx])
+
+    def fit(self, max_epochs: Optional[int] = None, val_every: int = 1):
+        opts = self.opts
+        max_epochs = max_epochs if max_epochs is not None else opts.max_epochs
+        epochs_without_improvement = 0
+        for epoch in range(max_epochs):
+            rollout_steps = curriculum_rollout_steps(epoch, opts)
+            t0 = time.time()
+            losses = []
+            for batch in self._batches(self.train_graphs, opts.batch_size, True):
+                self.params, self.opt_state, loss = train_step(
+                    self.params, self.opt_state, batch,
+                    apply_fn=self.apply_fn, cfg=self.cfg,
+                    rollout_steps=rollout_steps, opts=opts,
+                    multiscale=self.multiscale, optimizer=self.optimizer)
+                losses.append(loss)
+            train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
+            record = {"epoch": epoch, "rollout_steps": rollout_steps,
+                      "train_loss": train_loss, "epoch_time": time.time() - t0}
+
+            if self.val_graphs and (epoch % val_every == 0 or epoch == max_epochs - 1):
+                metrics = self.validate()
+                record.update(metrics)
+                if metrics["val_loss"] < self.best_val_loss:
+                    self.best_val_loss = metrics["val_loss"]
+                    self.best_params = self.params
+                # early stop on CSI@0.05 as the reference does (main.py:94)
+                if metrics["val_CSI_005"] > self.best_val_csi + 1e-12:
+                    self.best_val_csi = metrics["val_CSI_005"]
+                    epochs_without_improvement = 0
+                else:
+                    epochs_without_improvement += val_every
+                if epochs_without_improvement >= opts.patience:
+                    self.history.append(record)
+                    self.log_fn(record)
+                    break
+            self.history.append(record)
+            self.log_fn(record)
+        return self.history
+
+    def validate(self) -> Dict[str, float]:
+        steps = int(self.val_graphs[0].y.shape[-1])
+        agg = []
+        bs = min(self.opts.batch_size, len(self.val_graphs))
+        for batch in self._batches(self.val_graphs, bs, False):
+            m = eval_step(self.params, batch, apply_fn=self.apply_fn,
+                          cfg=self.cfg, steps=steps, opts=self.opts,
+                          multiscale=self.multiscale)
+            agg.append({k: float(v) for k, v in m.items()})
+        return {k: float(np.nanmean([m[k] for m in agg])) for k in agg[0]}

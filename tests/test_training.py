@@ -1,0 +1,117 @@
+"""Training loop: loss semantics vs numpy oracle, jitted train step learns,
+curriculum schedule, eval metrics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mswe_gnn_tpu.graph import stack_graphs
+from mswe_gnn_tpu.models.msgnn import MSGNNConfig, apply_msgnn, init_msgnn
+from mswe_gnn_tpu.training import loss as loss_lib
+from mswe_gnn_tpu.training.train import (
+    Trainer, TrainerOptions, curriculum_rollout_steps, eval_step,
+    make_optimizer, pushforward_loss, train_step,
+)
+from tests.test_models import make_samples
+from tests.test_rollout import make_model
+
+
+def test_loss_oracle_rmse_only_where_water(rng):
+    """Masked RMSE equals the reference compact-rows formulation."""
+    samples, _ = make_samples()
+    g = samples[0]
+    n = g.num_nodes
+    preds = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+    target = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+    # zero out some rows entirely so where_water excludes them
+    zero_rows = rng.integers(0, n, 20)
+    preds = preds.at[zero_rows].set(0)
+    target = target.at[zero_rows].set(0)
+
+    sums, count, _ = loss_lib.step_loss_sums(
+        preds, target, g, type_loss="RMSE", only_where_water=True,
+        multiscale=True)
+    got = np.asarray(loss_lib.finalize_error(sums, count, "RMSE"))
+
+    fs = g.spec.node_slice(0)
+    diff = np.asarray(preds - target)[fs]
+    nmask = np.asarray(g.node_mask)[fs] > 0
+    www = (diff != 0).any(1)
+    sel = diff[nmask & www]
+    want = np.sqrt((sel ** 2).mean(0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_velocity_scaler_weighting():
+    s = loss_lib.loss_variable_scaler(7.0)
+    err = jnp.asarray([1.0, 2.0])
+    got = float(jnp.dot(err, s) / s.sum())
+    assert abs(got - (1.0 + 14.0) / 8.0) < 1e-6
+
+
+def test_conservation_residual_zero_for_exact_balance():
+    """If predicted volume change equals inflow (plus ghost correction),
+    the residual vanishes."""
+    samples, _ = make_samples()
+    g = samples[0]
+    n = g.num_nodes
+    input_wd = jnp.zeros((n, 1))
+    bc_now = jnp.asarray(np.ones(g.bc_nodes.shape[0], np.float32))
+    inflow_vol = float(jnp.sum(bc_now * g.bc_edge_length * g.bc_mask) * 60.0 * g.temporal_res)
+    # distribute the inflow volume over exactly one finest-scale interior cell
+    fs = g.spec.node_slice(0)
+    cell = int(np.setdiff1d(np.arange(fs.start, fs.stop),
+                            np.asarray(g.bc_nodes))[0])
+    dh = inflow_vol / float(g.area[cell])
+    pred_wd = jnp.zeros((n, 1)).at[cell, 0].set(dh)
+    res = loss_lib.conservation_residual(pred_wd, input_wd, g, bc_now)
+    assert abs(float(res)) < 1e-4
+
+
+def test_curriculum_schedule():
+    opts = TrainerOptions(curriculum_epoch=20, max_rollout_steps=6)
+    assert curriculum_rollout_steps(0, opts) == 1
+    assert curriculum_rollout_steps(19, opts) == 1
+    assert curriculum_rollout_steps(20, opts) == 2
+    assert curriculum_rollout_steps(1000, opts) == 6
+    opts0 = TrainerOptions(curriculum_epoch=0, max_rollout_steps=6)
+    assert curriculum_rollout_steps(0, opts0) == 6
+
+
+def test_train_step_decreases_loss():
+    samples, _ = make_samples(rollout=2)
+    batch = stack_graphs(samples[:4])
+    g = samples[0]
+    cfg, params = make_model(g, K=1, hid=8)
+    opts = TrainerOptions(batch_size=4, learning_rate=1e-2, velocity_scaler=1.0,
+                          only_where_water=True)
+    optimizer = make_optimizer(opts, steps_per_epoch=1)
+    opt_state = optimizer.init(params)
+    losses = []
+    for _ in range(25):
+        params, opt_state, loss = train_step(
+            params, opt_state, batch, apply_fn=apply_msgnn, cfg=cfg,
+            rollout_steps=2, opts=opts, multiscale=True, optimizer=optimizer)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.95, losses
+
+
+def test_eval_step_metrics_keys():
+    samples, _ = make_samples(rollout=3)
+    batch = stack_graphs(samples[:2])
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    m = eval_step(params, batch, apply_fn=apply_msgnn, cfg=cfg, steps=3,
+                  opts=TrainerOptions(), multiscale=True)
+    assert set(m) == {"val_loss", "val_CSI_005", "val_CSI_03"}
+    assert np.isfinite(float(m["val_loss"]))
+
+
+def test_trainer_fit_smoke():
+    samples, _ = make_samples(rollout=2)
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions(batch_size=2, max_epochs=2, curriculum_epoch=1,
+                          max_rollout_steps=2, learning_rate=1e-3)
+    tr = Trainer(apply_msgnn, cfg, params, opts,
+                 train_graphs=samples[:4], val_graphs=samples[:2])
+    hist = tr.fit(max_epochs=2)
+    assert len(hist) == 2
+    assert "val_loss" in hist[-1]
