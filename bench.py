@@ -1,0 +1,130 @@
+"""Benchmark: full mSWE-GNN autoregressive rollout on a dk15-class mesh.
+
+Measures the flagship inference workload (reference headline:
+``results/batch_prediction_times.csv`` — 26.2 s per full K=5,F=64 rollout on
+the 22 880-face dk15 dike-ring mesh, batch 1). Prints ONE JSON line:
+  metric      : processed edge-messages per second per chip (K-hop SpMM+SDDMM)
+  vs_baseline : reference rollout wall time / our rollout wall time
+Extra detail goes to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+REFERENCE_ROLLOUT_SECONDS = 26.2   # dk15, K=5, F=64, batch 1 (reference CSV row 2)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_bench_problem(nx=152, ny=152, num_scales=3, previous_t=3, T=48,
+                        hid=64, K=5, seed=0):
+    """dk15-scale problem: 152x152 = 23 104 finest cells (+ ghosts) vs dk15's
+    22 880; 3-scale hierarchy; random (but plausible) dynamic state — rollout
+    cost is state-independent because the wet-front mask is masked-dense."""
+    from mswe_gnn_tpu.data.dataset import (
+        SimulationRecord, fit_dataset_scalers, make_spec, process_record,
+        to_temporal_samples)
+    from mswe_gnn_tpu.data.synthetic import make_multiscale_grid
+    from mswe_gnn_tpu.data.simulate import random_dem_fn
+    from mswe_gnn_tpu.models import build_model
+    from mswe_gnn_tpu.models.registry import count_params
+
+    rng = np.random.default_rng(seed)
+    dem_fn = random_dem_fn(rng, extent=nx * 100.0, relief=4.0)
+    mesh = make_multiscale_grid(nx, ny, 100.0, num_scales, dem_fn, n_bc=4)
+    n = mesh.num_nodes
+    wd = np.abs(rng.normal(0.4, 0.3, (n, T))).astype(np.float32)
+    vx = rng.normal(0, 0.3, (n, T)).astype(np.float32)
+    vy = rng.normal(0, 0.3, (n, T)).astype(np.float32)
+    nbc = len(mesh.ghosts.ghost_nodes)
+    bc = np.abs(rng.normal(0.2, 0.1, (nbc, T))).astype(np.float32)
+    rec = SimulationRecord(mesh=mesh, wd=wd, vx=vx, vy=vy, bc_per_length=bc,
+                           temporal_res=120.0)
+    scalers = fit_dataset_scalers([rec], {"area_scaler": "standard",
+                                          "edge_length_scaler": "standard"})
+    proc = process_record(rec, scalers)
+    spec = make_spec(mesh, nbc, pad_multiple=128)
+    sample = to_temporal_samples(proc, spec, previous_t=previous_t,
+                                 rollout_steps=-1)[0]
+    g = sample
+    cfg, params, apply_fn = build_model(
+        {"model_type": "MSGNN", "hid_features": hid, "K": K, "mlp_layers": 3,
+         "learned_residuals": True, "with_WL": True, "gnn_activation": "tanh",
+         "mlp_activation": "prelu"},
+        num_node_features=g.x_static.shape[1] + g.x_dynamic.shape[1],
+        num_edge_features=g.edge_attr.shape[1], num_scales=num_scales,
+        previous_t=previous_t)
+    log(f"mesh: {n} nodes ({[m.num_faces for m in mesh.meshes]}), "
+        f"{mesh.edge_ptr[-1]} edges, params={count_params(params)}")
+    return cfg, params, apply_fn, sample, mesh
+
+
+def count_edge_messages(mesh, cfg, steps: int) -> int:
+    """Real (unpadded) edge-messages processed by one full rollout:
+    every processor layer does K x E_scale gather-multiply-scatter hops;
+    un-pooling layers do 1 x E_transfer each."""
+    L = mesh.num_scales
+    e = [m.num_edges for m in mesh.meshes]
+    ks = list(cfg.k_schedule)
+    per_step = 0
+    for i in range(L - 1):              # downsweep
+        per_step += ks[i] * e[i]
+    for i in range(L):                  # upsweep
+        per_step += ks[L - 1 + i] * e[L - 1 - i]
+    for lvl in range(L - 1):            # un-pool transfer hops + pooling
+        n_tr = int(mesh.intra_edge_ptr[lvl + 1] - mesh.intra_edge_ptr[lvl])
+        per_step += 2 * n_tr
+    return per_step * steps
+
+
+def main():
+    t0 = time.time()
+    cfg, params, apply_fn, sample, mesh = build_bench_problem()
+    T = int(sample.y.shape[-1])
+    log(f"build: {time.time()-t0:.1f}s, rollout steps={T}")
+
+    from mswe_gnn_tpu.training.rollout import rollout
+
+    # reduce on device, fetch the scalar: on the remote-execution platform
+    # block_until_ready alone does not synchronize, so time to-host readback
+    # of a 1-element result (negligible transfer, true device wall time)
+    roll = jax.jit(lambda p, g: rollout(apply_fn, p, cfg, g, steps=T).sum())
+    t0 = time.time()
+    float(roll(params, sample))
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        float(roll(params, sample))
+        times.append(time.time() - t0)
+    t = float(np.median(times))
+    msgs = count_edge_messages(mesh, cfg, T)
+    edges_per_sec = msgs / t
+    log(f"rollout times: {[round(x, 3) for x in times]} -> median {t:.3f}s, "
+        f"{msgs/1e6:.1f}M edge-messages, {edges_per_sec/1e9:.3f} B msgs/s")
+    print(json.dumps({
+        "metric": "edge_messages_per_sec_per_chip",
+        "value": round(edges_per_sec, 1),
+        "unit": "messages/s",
+        "vs_baseline": round(REFERENCE_ROLLOUT_SECONDS / t, 2),
+        "detail": {
+            "rollout_seconds": round(t, 4),
+            "reference_rollout_seconds": REFERENCE_ROLLOUT_SECONDS,
+            "mesh_nodes": int(mesh.num_nodes),
+            "rollout_steps": T,
+            "model": "MSGNN K=5 F=64 (dk15-class)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

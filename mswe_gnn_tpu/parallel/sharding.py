@@ -1,0 +1,68 @@
+"""Device-mesh sharding for batched flood graphs (GSPMD path).
+
+The reference has no distributed execution (SURVEY.md §2.2); this module is
+the TPU-native scaling design:
+
+- axis ``data``  — data parallelism over the batch of temporal samples
+  (the reference's latent Lightning DDP, main.py:107).
+- axis ``graph`` — spatial graph parallelism: node/edge arrays sharded over
+  devices; XLA GSPMD inserts the gather/scatter collectives over ICI.
+  This is the analog of tensor/sequence parallelism for mesh GNNs
+  (BASELINE.json north star). The hand-scheduled halo-exchange path lives in
+  parallel/halo.py.
+
+Collectives ride the mesh axes; with a (data, graph) mesh on a pod slice,
+lay ``graph`` on the minor (ICI-adjacent) axis.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mswe_gnn_tpu.graph import FloodGraph
+
+
+def make_mesh(n_data: int, n_graph: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_graph
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(n_data, n_graph)
+    return Mesh(arr, axis_names=("data", "graph"))
+
+
+def batch_sharding(mesh: Mesh, batch: FloodGraph, shard_graph: bool = True) -> FloodGraph:
+    """A FloodGraph of NamedShardings for a stacked batch.
+
+    Leading axis -> ``data``. When ``shard_graph``, the node/edge axis of each
+    leaf is additionally sharded over ``graph`` (GSPMD partitions the segment
+    ops; small per-graph leaves like BC arrays stay replicated on ``graph``).
+    """
+    def spec_for(leaf):
+        ndim = leaf.ndim
+        if ndim == 0:
+            return NamedSharding(mesh, P())
+        parts = [None] * ndim
+        parts[0] = "data"
+        if shard_graph and ndim >= 2:
+            # shard the big per-node/per-edge axis; leave tiny axes alone
+            axis = 1 if leaf.shape[1] >= mesh.shape["graph"] * 2 else None
+            if axis is not None and leaf.shape[1] % mesh.shape["graph"] == 0:
+                parts[1] = "graph"
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree_util.tree_map(spec_for, batch)
+
+
+def shard_batch(batch: FloodGraph, mesh: Mesh, shard_graph: bool = True) -> FloodGraph:
+    """Place a stacked batch onto the mesh."""
+    shardings = batch_sharding(mesh, batch, shard_graph)
+    return jax.tree_util.tree_map(jax.device_put, batch, shardings)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params / opt state) across the whole mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
