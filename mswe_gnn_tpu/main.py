@@ -1,0 +1,200 @@
+"""Experiment driver: config -> data -> train -> evaluate -> report.
+
+The counterpart of the reference entry points ``main.py`` (train + eval) and
+``test_model.py`` (eval-only), reference main.py:22-197, test_model.py:19-121:
+
+  python -m mswe_gnn_tpu.main train  --config configs/synthetic.yaml --out runs/x
+  python -m mswe_gnn_tpu.main eval   --config ... --ckpt runs/x/best --out runs/x_eval
+
+Data comes from the built-in synthetic generator (``synthetic_data`` config
+group) or, when paths are given, reference-format pickles via
+compat.torch_data (Zenodo datasets).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mswe_gnn_tpu import config as config_lib
+from mswe_gnn_tpu.data.dataset import (
+    fit_dataset_scalers, make_spec, process_record, to_temporal_samples,
+    union_spec,
+)
+from mswe_gnn_tpu.data.synthetic import generate_dataset
+from mswe_gnn_tpu.graph import FloodGraph
+from mswe_gnn_tpu.models import build_model
+from mswe_gnn_tpu.models.registry import count_params
+from mswe_gnn_tpu.training.checkpoint import (
+    restore_params_only, save_checkpoint,
+)
+from mswe_gnn_tpu.training.rollout import rollout
+from mswe_gnn_tpu.training.train import Trainer, TrainerOptions
+from mswe_gnn_tpu.utils.analysis import SpatialAnalysis
+from mswe_gnn_tpu.utils.logging import MetricLogger
+
+
+def prepare_data(cfg: Dict) -> Tuple[List[FloodGraph], List[FloodGraph],
+                                     List[FloodGraph], Dict, object]:
+    """Build train/val/test temporal datasets (reference main.py:26-56)."""
+    sd = cfg["synthetic_data"]
+    dp = cfg["dataset_parameters"]
+    tdp = cfg["temporal_dataset_parameters"]
+    rng = np.random.default_rng(dp.get("seed", 0))
+
+    records = generate_dataset(
+        sd["n_sims"], seed=sd.get("seed", 0), nx=sd["nx"], ny=sd["ny"],
+        dx=sd.get("dx", 100.0), num_scales=sd["num_scales"],
+        total_hours=sd["total_hours"], temporal_res=dp["temporal_res"],
+        n_bc=sd.get("n_bc", 2), substeps=sd.get("substeps", 20))
+
+    n = len(records)
+    n_test = max(1, int(round(n * 0.2)))
+    test_records = records[-n_test:]
+    pool = records[:-n_test]
+    n_val = max(1, int(round(len(pool) * dp.get("val_prcnt", 0.25))))
+    perm = rng.permutation(len(pool))
+    val_records = [pool[i] for i in perm[:n_val]]
+    train_records = [pool[i] for i in perm[n_val:]]
+
+    scalers = fit_dataset_scalers(train_records, cfg["scalers"])
+    feats = dict(node_features=cfg["selected_node_features"],
+                 edge_features=cfg["selected_edge_features"])
+    spec = union_spec([
+        make_spec(r.mesh, len(r.mesh.ghosts.ghost_nodes),
+                  pad_multiple=sd.get("pad_multiple", 64))
+        for r in records])
+
+    def build(records_, rollout_steps):
+        out = []
+        for r in records_:
+            proc = process_record(r, scalers, **feats)
+            out += to_temporal_samples(
+                proc, spec, previous_t=tdp["previous_t"],
+                rollout_steps=rollout_steps,
+                time_start=tdp.get("time_start", 0),
+                time_stop=tdp.get("time_stop", -1))
+        return out
+
+    train = build(train_records, tdp["rollout_steps"])
+    val = build(val_records, -1)     # full-rollout validation (reference train.py:157)
+    test = build(test_records, -1)
+    return train, val, test, scalers, test_records
+
+
+def build_experiment_model(cfg: Dict, sample: FloodGraph):
+    tdp = cfg["temporal_dataset_parameters"]
+    sd = cfg["synthetic_data"]
+    return build_model(
+        cfg["models"],
+        num_node_features=sample.x_static.shape[1] + sample.x_dynamic.shape[1],
+        num_edge_features=sample.edge_attr.shape[1],
+        num_scales=sd["num_scales"],
+        previous_t=tdp["previous_t"])
+
+
+def trainer_options(cfg: Dict) -> TrainerOptions:
+    to, lr = cfg["trainer_options"], cfg["lr_info"]
+    return TrainerOptions(
+        type_loss=to["type_loss"], only_where_water=to["only_where_water"],
+        batch_size=to["batch_size"], conservation=to["conservation"],
+        velocity_scaler=to["velocity_scaler"],
+        curriculum_epoch=to["curriculum_epoch"], patience=to["patience"],
+        max_epochs=to["max_epochs"],
+        max_rollout_steps=cfg["temporal_dataset_parameters"]["rollout_steps"],
+        learning_rate=lr["learning_rate"], weight_decay=lr["weight_decay"],
+        gamma=lr["gamma"], step_size=lr["step_size"])
+
+
+def evaluate(apply_fn, model_cfg, params, test: List[FloodGraph],
+             opts: TrainerOptions, out_dir: Optional[str] = None) -> Dict:
+    """Timed full-rollout test evaluation + spatial analysis
+    (reference main.py:138-166)."""
+    import jax
+
+    rollouts, times = [], []
+    steps = int(test[0].y.shape[-1])
+    roll = jax.jit(lambda p, g: rollout(apply_fn, p, model_cfg, g, steps=steps))
+    # warm-up compile on the first graph (excluded from timing)
+    np.asarray(roll(params, test[0]))
+    for g in test:
+        t0 = time.time()
+        pred = np.asarray(roll(params, g))
+        times.append(time.time() - t0)
+        rollouts.append(pred)
+
+    analysis = SpatialAnalysis(rollouts, test, prediction_times=times)
+    summary = analysis.summary()
+    if out_dir:
+        analysis.save_reports(out_dir)
+    return summary
+
+
+def run_training(cfg: Dict, out_dir: str) -> Dict:
+    cfg = config_lib.with_defaults(cfg)
+    logger = MetricLogger(out_dir, config=cfg)
+    train, val, test, scalers, _ = prepare_data(cfg)
+    print(f"dataset: {len(train)} train / {len(val)} val / {len(test)} test samples")
+
+    model_cfg, params, apply_fn = build_experiment_model(cfg, train[0])
+    print(f"model: {cfg['models']['model_type']}, {count_params(params)} params")
+    if cfg.get("saved_model"):
+        params = restore_params_only(cfg["saved_model"], params)
+        print(f"warm-started from {cfg['saved_model']}")
+
+    opts = trainer_options(cfg)
+    multiscale = cfg["models"]["model_type"] == "MSGNN"
+    tr = Trainer(apply_fn, model_cfg, params, opts, train, val,
+                 multiscale=multiscale, log_fn=logger.log)
+    tr.fit()
+
+    save_checkpoint(os.path.join(out_dir, "best"), tr.best_params,
+                    epoch=len(tr.history), history=tr.history)
+    save_checkpoint(os.path.join(out_dir, "last"), tr.params,
+                    epoch=len(tr.history), history=tr.history)
+
+    summary = evaluate(apply_fn, model_cfg, tr.best_params, test, opts,
+                       out_dir=out_dir)
+    summary["n_params"] = count_params(tr.best_params)
+    logger.summary(summary)
+    logger.close()
+    print(json.dumps(summary, indent=2, default=float))
+    return summary
+
+
+def run_eval(cfg: Dict, ckpt: str, out_dir: str) -> Dict:
+    cfg = config_lib.with_defaults(cfg)
+    _, _, test, scalers, _ = prepare_data(cfg)
+    model_cfg, params, apply_fn = build_experiment_model(cfg, test[0])
+    params = restore_params_only(ckpt, params)
+    summary = evaluate(apply_fn, model_cfg, params, test, trainer_options(cfg),
+                       out_dir=out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    print(json.dumps(summary, indent=2, default=float))
+    return summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="mswe_gnn_tpu experiment driver")
+    ap.add_argument("mode", choices=["train", "eval"])
+    ap.add_argument("--config", default=None, help="YAML config path")
+    ap.add_argument("--ckpt", default=None, help="checkpoint dir (eval mode)")
+    ap.add_argument("--out", default="runs/latest")
+    args = ap.parse_args(argv)
+    cfg = config_lib.read_config(args.config) if args.config else {}
+    cfg = config_lib.fix_dotted_keys(cfg)
+    if args.mode == "train":
+        run_training(cfg, args.out)
+    else:
+        assert args.ckpt, "--ckpt required for eval"
+        run_eval(cfg, args.ckpt, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Experiment metric logging: JSONL + CSV always, wandb when available.
+
+Replaces the reference's hard wandb dependency (reference main.py:86-196,
+training/train.py self.log calls) with a local-first writer using the same
+metric names (train_loss, val_loss, val_CSI_005, val_CSI_03, rollout_steps,
+test metrics) so dashboards stay comparable.
+"""
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class MetricLogger:
+    def __init__(self, out_dir: str, use_wandb: bool = False,
+                 wandb_project: Optional[str] = None, config: Optional[dict] = None):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.jsonl = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+        self.csv_path = os.path.join(out_dir, "metrics.csv")
+        self._csv_fields = None
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project or "mswe-gnn-tpu",
+                                         config=config)
+            except Exception:
+                self._wandb = None
+        if config is not None:
+            with open(os.path.join(out_dir, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+
+    def log(self, metrics: Dict) -> None:
+        rec = {"time": time.time(), **{k: (float(v) if hasattr(v, "__float__") else v)
+                                       for k, v in metrics.items()}}
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self._csv_fields is None:
+            self._csv_fields = list(rec)
+            with open(self.csv_path, "w", newline="") as f:
+                csv.DictWriter(f, self._csv_fields).writeheader()
+        with open(self.csv_path, "a", newline="") as f:
+            csv.DictWriter(f, self._csv_fields, extrasaction="ignore").writerow(rec)
+        if self._wandb is not None:
+            self._wandb.log(metrics)
+
+    def summary(self, metrics: Dict) -> None:
+        with open(os.path.join(self.out_dir, "summary.json"), "w") as f:
+            json.dump({k: (float(v) if hasattr(v, "__float__") else v)
+                       for k, v in metrics.items()}, f, indent=2)
+        if self._wandb is not None:
+            for k, v in metrics.items():
+                self._wandb.summary[k] = v
+
+    def close(self) -> None:
+        self.jsonl.close()
+        if self._wandb is not None:
+            self._wandb.finish()
