@@ -134,6 +134,16 @@ class FloodGraph:
     area: jax.Array
     dem: jax.Array
     y: Optional[jax.Array] = None
+    # ELL (padded neighbor-table) layout: turns the SpMM scatter into a
+    # gather+sum — mesh in-degree is small and bounded, and TPU gathers are
+    # far faster than scatter-adds. Entries are global edge ids; masked slots
+    # point at edge 0 with weight 0.
+    in_edge_table: Optional[jax.Array] = None   # [N, D_max] incoming edge ids
+    in_edge_mask: Optional[jax.Array] = None    # [N, D_max]
+    pool_table: Optional[jax.Array] = None      # [N, D_pool] intra-edge ids (fine children)
+    pool_mask: Optional[jax.Array] = None       # [N, D_pool]
+    unpool_table: Optional[jax.Array] = None    # [N, D_up] intra-edge ids (parent edges)
+    unpool_mask: Optional[jax.Array] = None     # [N, D_up]
 
     # --- static (aux) fields ---
     spec: GraphSpec = struct.field(pytree_node=False, default=None)
@@ -292,7 +302,18 @@ def build_flood_graph(
         bcv = np.zeros((nbc, 1), dtype=dtype)
         bel = np.ones(nbc, dtype=dtype)
 
+    in_tab, in_msk = build_edge_slot_table(ei, emask, N, round_to=4)
+    pool_tab, pool_msk = build_edge_slot_table(
+        np.stack([iei[1], iei[0]]), iemask, N, round_to=4)
+    unpool_tab, unpool_msk = build_edge_slot_table(iei, iemask, N, round_to=4)
+
     return FloodGraph(
+        in_edge_table=jnp.asarray(in_tab),
+        in_edge_mask=jnp.asarray(in_msk),
+        pool_table=jnp.asarray(pool_tab),
+        pool_mask=jnp.asarray(pool_msk),
+        unpool_table=jnp.asarray(unpool_tab),
+        unpool_mask=jnp.asarray(unpool_msk),
         x_static=jnp.asarray(x_static_p),
         x_dynamic=jnp.asarray(x_dynamic_p),
         edge_index=jnp.asarray(ei),
@@ -313,6 +334,37 @@ def build_flood_graph(
         bc_kind=int(bc_kind),
         temporal_res=float(temporal_res),
     )
+
+
+def build_edge_slot_table(edge_index: np.ndarray, edge_mask: np.ndarray,
+                          num_nodes: int, round_to: int = 4):
+    """Host-side ELL table: for each node, the ids of its incoming (real)
+    edges, padded to the max in-degree rounded up to ``round_to``.
+
+    Aggregation then becomes ``msgs[table] * mask -> sum(axis=1)`` — pure
+    gathers, no scatter (the TPU-native SpMM formulation for bounded-degree
+    mesh graphs).
+    """
+    dst = np.asarray(edge_index[1])
+    real = np.asarray(edge_mask) > 0
+    indeg = np.bincount(dst[real], minlength=num_nodes)
+    dmax = int(indeg.max()) if len(dst) else 1
+    dmax = max(round_up(max(dmax, 1), round_to), round_to)
+    table = np.zeros((num_nodes, dmax), np.int32)
+    mask = np.zeros((num_nodes, dmax), np.float32)
+    fill = np.zeros(num_nodes, np.int64)
+    for e in np.where(real)[0]:
+        n = dst[e]
+        table[n, fill[n]] = e
+        mask[n, fill[n]] = 1.0
+        fill[n] += 1
+    return table, mask
+
+
+def ell_aggregate(msgs: jax.Array, table: jax.Array, mask: jax.Array) -> jax.Array:
+    """Sum per-edge messages into nodes via the ELL table (gather + sum)."""
+    gathered = jnp.take(msgs, table, axis=0)          # [N, D, F]
+    return (gathered * mask[..., None]).sum(axis=1)
 
 
 def stack_graphs(graphs) -> FloodGraph:

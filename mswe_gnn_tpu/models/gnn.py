@@ -49,6 +49,7 @@ class GNNConfig:
     learned_residuals: object = None   # True | 'all' | False | None
     residuals_base: float = 2.0
     residual_init: str = "exp"
+    compute_dtype: str = "float32"
 
     @property
     def out_dim(self) -> int:
@@ -76,6 +77,7 @@ class GNNConfig:
             mlp_layers=self.mlp_layers,
             mlp_activation=self.mlp_activation,
             mlp_bias=True,
+            compute_dtype=self.compute_dtype,
         )
 
 
@@ -172,7 +174,9 @@ def apply_gnn(params: dict, cfg: GNNConfig, graph: FloodGraph) -> jax.Array:
     for conv in params["gnn_processor"]:
         if cfg.type_gnn == "SWEGNN":
             h = apply_swegnn(conv, cfg.swegnn_cfg(), x_s, x_d, src, dst,
-                             edge_attr=edge_attr, edge_mask=emask)
+                             edge_attr=edge_attr, edge_mask=emask,
+                             agg_table=graph.in_edge_table,
+                             agg_mask=graph.in_edge_mask)
         elif cfg.type_gnn == "GNN_L":
             h = apply_cheb(conv, ChebConfig(cfg.hid_features, cfg.hid_features, cfg.K),
                            h, src, dst, emask)

@@ -31,6 +31,20 @@ def _torch_linear_init(key, fan_in: int, fan_out: int, bias: bool):
     return p
 
 
+def matmul(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
+    """Matmul with optional reduced-precision compute (bf16 in, f32 out).
+
+    The TPU MXU runs bf16 x bf16 -> f32 at full rate; the reference trains
+    with '16-mixed' AMP (reference main.py:109) so bf16 compute is the
+    matching precision policy on TPU.
+    """
+    if compute_dtype is None or compute_dtype == "float32":
+        return x @ w
+    cd = jnp.dtype(compute_dtype)
+    return jnp.matmul(x.astype(cd), w.astype(cd),
+                      preferred_element_type=jnp.float32)
+
+
 def mlp_sizes(input_size: int, output_size: int, hidden_size: int, n_layers: int):
     """Per-linear (fan_in, fan_out) pairs matching reference models/models.py:121-141."""
     if n_layers == 1:
@@ -69,9 +83,10 @@ def apply_mlp(
     dropout: float = 0.0,
     dropout_rng=None,
     deterministic: bool = True,
+    compute_dtype=None,
 ) -> jax.Array:
     for lin, act, norm in zip(params["layers"], params["acts"], params["norms"]):
-        x = x @ lin["w"]
+        x = matmul(x, lin["w"], compute_dtype)
         if "b" in lin:
             x = x + lin["b"]
         if layer_norm:
@@ -92,8 +107,8 @@ def init_linear(key, fan_in: int, fan_out: int, bias: bool = False) -> dict:
     return _torch_linear_init(key, fan_in, fan_out, bias)
 
 
-def apply_linear(params: dict, x: jax.Array) -> jax.Array:
-    y = x @ params["w"]
+def apply_linear(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
+    y = matmul(x, params["w"], compute_dtype)
     if "b" in params:
         y = y + params["b"]
     return y

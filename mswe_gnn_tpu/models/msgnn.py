@@ -53,6 +53,7 @@ class MSGNNConfig:
     learned_residuals: object = None
     residuals_base: float = 2.0
     residual_init: str = "exp"
+    compute_dtype: str = "float32"
 
     @property
     def out_dim(self) -> int:
@@ -88,6 +89,7 @@ class MSGNNConfig:
             mlp_layers=self.mlp_layers,
             mlp_activation=self.mlp_activation,
             mlp_bias=True,
+            compute_dtype=self.compute_dtype,
         )
 
     def intra_cfg(self) -> SWEGNNConfig:
@@ -104,6 +106,7 @@ class MSGNNConfig:
             mlp_layers=self.mlp_layers,
             mlp_activation=self.mlp_activation,
             mlp_bias=True,
+            compute_dtype=self.compute_dtype,
         )
 
 
@@ -149,10 +152,13 @@ def init_msgnn(key, cfg: MSGNNConfig) -> dict:
 
 
 def _pool(params, cfg: MSGNNConfig, x, intra_src_fine, intra_dst_coarse,
-          intra_mask, coarse_range):
+          intra_mask, coarse_range, pool_table=None, pool_mask=None):
     """Mean-pool fine features onto coarse nodes over transfer edges
     (reference models/gnn.py:242-257). Output replaces x entirely: nodes that
-    receive nothing become zero."""
+    receive nothing become zero.
+
+    When ``pool_table``/``pool_mask`` [n_coarse, D] are given (ids local to
+    the transfer-edge block), the mean uses the gather-based ELL path."""
     n = x.shape[0]
     lo, hi = coarse_range
     if cfg.learned_pooling:
@@ -162,8 +168,14 @@ def _pool(params, cfg: MSGNNConfig, x, intra_src_fine, intra_dst_coarse,
         src_vals = e
     else:
         src_vals = jnp.take(x, intra_src_fine, axis=0)
-    pooled = segment_mean(src_vals, intra_dst_coarse - lo, num_segments=hi - lo,
-                          weights=intra_mask)
+    if pool_table is not None:
+        gathered = jnp.take(src_vals, pool_table, axis=0)        # [Nc, D, F]
+        sums = (gathered * pool_mask[..., None]).sum(axis=1)
+        cnt = pool_mask.sum(axis=1)
+        pooled = jnp.where(cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
+    else:
+        pooled = segment_mean(src_vals, intra_dst_coarse - lo, num_segments=hi - lo,
+                              weights=intra_mask)
     return jnp.zeros_like(x).at[lo:hi].set(pooled)
 
 
@@ -198,10 +210,22 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
     x_up = jnp.zeros_like(x_d)
     ks = cfg.k_schedule
 
+    has_tables = graph.in_edge_table is not None
+    edge_ptr = spec.edge_ptr
+    intra_ptr = spec.intra_edge_ptr
+
     def scale_edges(i):
         sl = spec.edge_slice(i)
         return (graph.edge_index[0, sl], graph.edge_index[1, sl],
                 edge_attr[sl], graph.edge_mask[sl])
+
+    def scale_agg(i):
+        """ELL table rows for scale i, edge ids rebased to the scale block."""
+        if not has_tables:
+            return None, None
+        nsl = spec.node_slice(i)
+        tab = jnp.maximum(graph.in_edge_table[nsl] - edge_ptr[i], 0)
+        return tab, graph.in_edge_mask[nsl]
 
     def intra_edges(lvl):
         sl = spec.intra_edge_slice(lvl)
@@ -213,15 +237,24 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
     for i in range(L - 1):
         src, dst, ea, em = scale_edges(i)
         rng = (node_ptr[i], node_ptr[i + 1])
+        tab, tmask = scale_agg(i)
         x_d = apply_swegnn(params["gnn_processor"][i], cfg.processor_cfg(ks[i]),
                            x_s, x_d, src, dst, edge_attr=ea, edge_mask=em,
-                           src_range=rng, dst_range=rng)
+                           src_range=rng, dst_range=rng,
+                           agg_table=tab, agg_mask=tmask)
         # save scale-i rows before pooling overwrites them
         sl = spec.node_slice(i)
         x_down = x_down.at[sl].add(x_d[sl])
         coarse, fine, imask = intra_edges(i)
+        if has_tables:
+            csl = spec.node_slice(i + 1)
+            ptab = jnp.maximum(graph.pool_table[csl] - intra_ptr[i], 0)
+            pmask = graph.pool_mask[csl]
+        else:
+            ptab = pmask = None
         x_d = _pool(params, cfg, x_d, fine, coarse, imask,
-                    coarse_range=(node_ptr[i + 1], node_ptr[i + 2]))
+                    coarse_range=(node_ptr[i + 1], node_ptr[i + 2]),
+                    pool_table=ptab, pool_mask=pmask)
 
     x_down = x_down + x_d
 
@@ -231,23 +264,32 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
         gnn_id = L - 1 + i
         src, dst, ea, em = scale_edges(scale)
         rng = (node_ptr[scale], node_ptr[scale + 1])
+        tab, tmask = scale_agg(scale)
         x_d = apply_swegnn(params["gnn_processor"][gnn_id],
                            cfg.processor_cfg(ks[gnn_id]),
                            x_s, x_d, src, dst, edge_attr=ea, edge_mask=em,
-                           src_range=rng, dst_range=rng)
+                           src_range=rng, dst_range=rng,
+                           agg_table=tab, agg_mask=tmask)
         sl = spec.node_slice(scale)
         x_up = x_up.at[sl].add(x_d[sl])
 
         if i < L - 1:
             lvl = scale - 1  # transfer level between scales lvl (fine) and scale
             coarse, fine, imask = intra_edges(lvl)
+            if has_tables:
+                fsl_ = spec.node_slice(lvl)
+                utab = jnp.maximum(graph.unpool_table[fsl_] - intra_ptr[lvl], 0)
+                umask = graph.unpool_mask[fsl_]
+            else:
+                utab = umask = None
             # messages flow coarse -> fine (src=coarse, dst=fine)
             x_d = apply_swegnn(params["intra_scale_gnn"][i], cfg.intra_cfg(),
                                x_s, x_d, coarse, fine, edge_attr=None,
                                edge_mask=imask,
                                src_range=(node_ptr[scale], node_ptr[scale + 1]),
                                dst_range=(node_ptr[lvl], node_ptr[lvl + 1]),
-                               dst_sorted=False)
+                               dst_sorted=False,
+                               agg_table=utab, agg_mask=umask)
             if cfg.skip_connections:
                 fsl = spec.node_slice(lvl)
                 x_d = x_d.at[fsl].add(x_down[fsl])

@@ -42,6 +42,7 @@ from mswe_gnn_tpu.models.mlp import (
     apply_mlp,
     init_linear,
     init_mlp,
+    matmul,
     mlp_sizes,
 )
 from mswe_gnn_tpu.ops.segment import segment_sum
@@ -62,6 +63,7 @@ class SWEGNNConfig:
     mlp_layers: int = 2          # reference `n_layers` mlp kwarg
     mlp_activation: str = "prelu"
     mlp_bias: bool = True
+    compute_dtype: str = "float32"   # 'bfloat16' = MXU-rate matmuls + half-width hop traffic
 
     @property
     def edge_input_size(self) -> int:
@@ -122,13 +124,16 @@ def _edge_flux(
     s, d, fe = cfg.static_node_features, cfg.dynamic_node_features, cfg.edge_features
     W_ss, W_sd = W[:s], W[s: 2 * s]
     W_ds, W_dd = W[2 * s: 2 * s + d], W[2 * s + d: 2 * s + 2 * d]
+    cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
     s_lo, s_hi = (0, x_s.shape[0]) if src_range is None else src_range
     d_lo, d_hi = (0, x_s.shape[0]) if dst_range is None else dst_range
-    proj_src = x_s[s_lo:s_hi] @ W_ss + x_d[s_lo:s_hi] @ W_ds   # [Ns, H]
-    proj_dst = x_s[d_lo:d_hi] @ W_sd + x_d[d_lo:d_hi] @ W_dd   # [Nd, H]
+    proj_src = (matmul(x_s[s_lo:s_hi], W_ss, cd)
+                + matmul(x_d[s_lo:s_hi], W_ds, cd))            # [Ns, H]
+    proj_dst = (matmul(x_s[d_lo:d_hi], W_sd, cd)
+                + matmul(x_d[d_lo:d_hi], W_dd, cd))            # [Nd, H]
     h = jnp.take(proj_src, src - s_lo, axis=0) + jnp.take(proj_dst, dst - d_lo, axis=0)
     if fe > 0:
-        h = h + edge_attr @ W[2 * s + 2 * d:]
+        h = h + matmul(edge_attr, W[2 * s + 2 * d:], cd)
     if "b" in lin0:
         h = h + lin0["b"]
     # remaining layers (activation after every linear incl. the first)
@@ -140,7 +145,7 @@ def _edge_flux(
         "acts": mlp["acts"][1:],
         "norms": mlp["norms"][1:],
     }
-    s_ij = apply_mlp(rest, h, activation=cfg.mlp_activation)
+    s_ij = apply_mlp(rest, h, activation=cfg.mlp_activation, compute_dtype=cd)
 
     if cfg.normalize:
         norm = jnp.linalg.norm(s_ij, axis=-1, keepdims=True)
@@ -160,6 +165,8 @@ def apply_swegnn(
     src_range: Optional[Tuple[int, int]] = None,
     dst_range: Optional[Tuple[int, int]] = None,
     dst_sorted: bool = True,
+    agg_table: Optional[jax.Array] = None,
+    agg_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One SWEGNN layer: K hops of learned-flux message passing.
 
@@ -170,12 +177,18 @@ def apply_swegnn(
     always applied to ALL nodes, matching the reference where each scale's
     processor transforms the full node array (reference models/gnn.py:401-404
     called from :304).
+
+    ``agg_table``/``agg_mask`` [hi-lo, D] select the ELL aggregation path:
+    per-destination incoming-edge slots (ids local to the edge block passed
+    in), replacing the segment-sum scatter with gathers — the fast path on
+    TPU for bounded-degree meshes.
     """
     num_nodes = x_d.shape[0]
     lo, hi = (0, num_nodes) if dst_range is None else dst_range
+    cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
 
     if cfg.with_filter_matrix:
-        out = apply_linear(params["filters"][0], x_d)
+        out = apply_linear(params["filters"][0], x_d, compute_dtype=cd)
     else:
         out = x_d
 
@@ -183,6 +196,45 @@ def apply_swegnn(
                       src_range=src_range, dst_range=dst_range)
     if edge_mask is not None:
         s_ij = s_ij * edge_mask[:, None]
+
+    if agg_table is not None:
+        # Node-major hop loop (the TPU fast path): pre-gather the
+        # hop-invariant flux and the neighbor ids into ELL layout ONCE per
+        # layer; each hop is then a single data-dependent gather of `out`
+        # plus elementwise work and one small matmul — no per-edge
+        # intermediates, no scatter.
+        s_tab = jnp.take(s_ij, agg_table, axis=0) * agg_mask[..., None]  # [Nd,D,F]
+        src_tab = jnp.take(src, agg_table)                               # [Nd,D]
+        if cd is not None:
+            # halve hop-loop HBM traffic: flux table and the hop state live
+            # in bf16; the filter matmul accumulates back to f32
+            s_tab = s_tab.astype(cd)
+            out = out.astype(cd)
+        for k in range(cfg.K):
+            out_dst = out[lo:hi]
+            nb = jnp.take(out, src_tab, axis=0)                          # [Nd,D,F]
+            # wet-front mask from data already on hand: src activity is
+            # (nb row-sum != 0) — no scalar gather (which is very slow on TPU)
+            act = jnp.maximum((nb.sum(axis=-1) != 0).astype(out.dtype),
+                              (out_dst.sum(axis=1) != 0).astype(out.dtype)[:, None])
+            if cfg.with_gradient:
+                # hydraulic gradient: out[dst] - out[src] (reference gnn.py:430)
+                diff = out_dst[:, None, :] - nb
+                if cfg.upwind_mode:
+                    diff = jnp.maximum(diff, 0.0)
+                msg = diff * s_tab
+            else:
+                msg = s_tab * nb
+            agg = (msg * act[..., None]).sum(axis=1)
+            if cfg.with_filter_matrix:
+                agg = apply_linear(params["filters"][k + 1], agg, compute_dtype=cd)
+            if cd is not None:
+                agg = agg.astype(cd)
+            if dst_range is None:
+                out = out + agg
+            else:
+                out = out.at[lo:hi].add(agg)
+        return out.astype(x_d.dtype) if cd is not None else out
 
     for k in range(cfg.K):
         # wet-front mask: edges with at least one "active" endpoint
@@ -203,7 +255,7 @@ def apply_swegnn(
             indices_are_sorted=dst_sorted,
         )
         if cfg.with_filter_matrix:
-            agg = apply_linear(params["filters"][k + 1], agg)
+            agg = apply_linear(params["filters"][k + 1], agg, compute_dtype=cd)
         if dst_range is None:
             out = out + agg
         else:
