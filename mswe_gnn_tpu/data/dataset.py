@@ -42,6 +42,8 @@ class SimulationRecord:
     vy: np.ndarray
     bc_per_length: np.ndarray
     temporal_res: float  # minutes
+    solver_seconds: float = 0.0  # numerical-solver wall time (speed-up metric,
+                                 # reference database/overview.csv + misc.py:70-114)
 
 
 def pool_to_scales(values: np.ndarray, mesh: MultiscaleMesh) -> np.ndarray:

@@ -42,6 +42,46 @@ def make_multiscale_grid(nx: int, ny: int, dx: float, num_scales: int,
     return stack_meshes(meshes, ghosts=ghosts)
 
 
+def make_multiscale_tri(rng: np.random.Generator, dem_fn, num_scales: int,
+                        avg_radius: float, target_edge: float,
+                        n_bc: int = 2, type_bc: int = 2,
+                        with_dike: bool = False) -> MultiscaleMesh:
+    """Random-polygon triangulated hierarchy with ghost cells
+    (the reference's MeshKernel path, graph_creation.py:473-528)."""
+    from mswe_gnn_tpu.data.triangulate import triangulated_hierarchy
+
+    meshes = triangulated_hierarchy(rng, dem_fn, num_scales=num_scales,
+                                    avg_radius=avg_radius,
+                                    target_edge=target_edge,
+                                    with_dike=with_dike)
+    base = meshes[0]
+    # BC faces: boundary cells nearest a random boundary location
+    # (reference dhydro_utils.py:134-150)
+    bfaces = base.boundary_faces
+    anchor = bfaces[int(rng.integers(0, len(bfaces)))]
+    d = np.linalg.norm(base.face_xy[bfaces] - base.face_xy[anchor], axis=1)
+    bc_faces = np.sort(bfaces[np.argsort(d)[:n_bc]]).astype(np.int64)
+    finest, ghosts = add_ghost_cells(base, bc_faces, type_bc=type_bc)
+    return stack_meshes([finest] + meshes[1:], ghosts=ghosts)
+
+
+def _strip_ghosts(mesh_with_ghosts: Mesh, n_ghost: int) -> Mesh:
+    """Physical sub-mesh: drop the trailing ghost cells and their edges."""
+    n_phys = mesh_with_ghosts.num_faces - n_ghost
+    keep = ((mesh_with_ghosts.dual_edge_index[0] < n_phys)
+            & (mesh_with_ghosts.dual_edge_index[1] < n_phys))
+    return Mesh(
+        face_xy=mesh_with_ghosts.face_xy[:n_phys],
+        area=mesh_with_ghosts.area[:n_phys],
+        dem=mesh_with_ghosts.dem[:n_phys],
+        dual_edge_index=mesh_with_ghosts.dual_edge_index[:, keep],
+        face_distance=mesh_with_ghosts.face_distance[keep],
+        face_relative_distance=mesh_with_ghosts.face_relative_distance[keep],
+        edge_slope=mesh_with_ghosts.edge_slope[keep],
+        shared_length=mesh_with_ghosts.shared_length[keep],
+        boundary_faces=mesh_with_ghosts.boundary_faces)
+
+
 def generate_simulation_record(
     seed: int,
     nx: int = 32,
@@ -53,11 +93,25 @@ def generate_simulation_record(
     n_bc: int = 2,
     peak_discharge: float = 150.0,
     substeps: int = 20,
+    mesh_type: str = "grid",
 ) -> SimulationRecord:
-    """One full synthetic simulation on a multiscale mesh."""
+    """One full synthetic simulation on a multiscale mesh.
+
+    ``mesh_type``: 'grid' (regular quad cells) or 'triangulated' (random
+    irregular polygon + Delaunay hierarchy).
+    """
+    import time as _time
+
     rng = np.random.default_rng(seed)
     dem_fn = random_dem_fn(rng, extent=nx * dx, relief=4.0)
-    mesh = make_multiscale_grid(nx, ny, dx, num_scales, dem_fn, n_bc=n_bc)
+    if mesh_type == "grid":
+        mesh = make_multiscale_grid(nx, ny, dx, num_scales, dem_fn, n_bc=n_bc)
+    elif mesh_type == "triangulated":
+        mesh = make_multiscale_tri(rng, dem_fn, num_scales,
+                                   avg_radius=nx * dx / 2.0, target_edge=dx,
+                                   n_bc=n_bc)
+    else:
+        raise ValueError(f"unknown mesh_type {mesh_type!r}")
     ghosts = mesh.ghosts
     finest = mesh.meshes[0]
 
@@ -65,10 +119,11 @@ def generate_simulation_record(
                               dt_minutes=temporal_res,
                               peak_discharge=peak_discharge)
     # simulate on the physical (non-ghost) cells of the finest mesh
-    n_phys = finest.num_faces - len(ghosts.ghost_nodes)
-    phys = grid_mesh(nx, ny, dx, dem_fn)
+    phys = _strip_ghosts(finest, len(ghosts.ghost_nodes))
+    t0 = _time.time()
     sim = run_diffusive_wave(phys, ghosts.bc_faces, hydro,
                              dt_minutes=temporal_res, substeps=substeps)
+    solver_seconds = _time.time() - t0
 
     # ghost rows mirror their BC face (reference graph_creation.py:1466-1481)
     def with_ghosts(a):
@@ -88,7 +143,8 @@ def generate_simulation_record(
 
     return SimulationRecord(mesh=mesh, wd=wd, vx=vx, vy=vy,
                             bc_per_length=bc_per_length,
-                            temporal_res=temporal_res)
+                            temporal_res=temporal_res,
+                            solver_seconds=solver_seconds)
 
 
 def generate_dataset(n_sims: int, seed: int = 0, **kwargs) -> List[SimulationRecord]:

@@ -50,7 +50,8 @@ def prepare_data(cfg: Dict) -> Tuple[List[FloodGraph], List[FloodGraph],
         sd["n_sims"], seed=sd.get("seed", 0), nx=sd["nx"], ny=sd["ny"],
         dx=sd.get("dx", 100.0), num_scales=sd["num_scales"],
         total_hours=sd["total_hours"], temporal_res=dp["temporal_res"],
-        n_bc=sd.get("n_bc", 2), substeps=sd.get("substeps", 20))
+        n_bc=sd.get("n_bc", 2), substeps=sd.get("substeps", 20),
+        mesh_type=sd.get("mesh_type", "grid"))
 
     n = len(records)
     n_test = max(1, int(round(n * 0.2)))
@@ -111,7 +112,8 @@ def trainer_options(cfg: Dict) -> TrainerOptions:
 
 
 def evaluate(apply_fn, model_cfg, params, test: List[FloodGraph],
-             opts: TrainerOptions, out_dir: Optional[str] = None) -> Dict:
+             opts: TrainerOptions, out_dir: Optional[str] = None,
+             numerical_times: Optional[List[float]] = None) -> Dict:
     """Timed full-rollout test evaluation + spatial analysis
     (reference main.py:138-166)."""
     import jax
@@ -127,7 +129,8 @@ def evaluate(apply_fn, model_cfg, params, test: List[FloodGraph],
         times.append(time.time() - t0)
         rollouts.append(pred)
 
-    analysis = SpatialAnalysis(rollouts, test, prediction_times=times)
+    analysis = SpatialAnalysis(rollouts, test, prediction_times=times,
+                               numerical_times=numerical_times)
     summary = analysis.summary()
     if out_dir:
         analysis.save_reports(out_dir)
@@ -137,7 +140,7 @@ def evaluate(apply_fn, model_cfg, params, test: List[FloodGraph],
 def run_training(cfg: Dict, out_dir: str) -> Dict:
     cfg = config_lib.with_defaults(cfg)
     logger = MetricLogger(out_dir, config=cfg)
-    train, val, test, scalers, _ = prepare_data(cfg)
+    train, val, test, scalers, test_records = prepare_data(cfg)
     print(f"dataset: {len(train)} train / {len(val)} val / {len(test)} test samples")
 
     model_cfg, params, apply_fn = build_experiment_model(cfg, train[0])
@@ -158,7 +161,8 @@ def run_training(cfg: Dict, out_dir: str) -> Dict:
                     epoch=len(tr.history), history=tr.history)
 
     summary = evaluate(apply_fn, model_cfg, tr.best_params, test, opts,
-                       out_dir=out_dir)
+                       out_dir=out_dir,
+                       numerical_times=[r.solver_seconds for r in test_records])
     summary["n_params"] = count_params(tr.best_params)
     logger.summary(summary)
     logger.close()
@@ -168,11 +172,12 @@ def run_training(cfg: Dict, out_dir: str) -> Dict:
 
 def run_eval(cfg: Dict, ckpt: str, out_dir: str) -> Dict:
     cfg = config_lib.with_defaults(cfg)
-    _, _, test, scalers, _ = prepare_data(cfg)
+    _, _, test, scalers, test_records = prepare_data(cfg)
     model_cfg, params, apply_fn = build_experiment_model(cfg, test[0])
     params = restore_params_only(ckpt, params)
     summary = evaluate(apply_fn, model_cfg, params, test, trainer_options(cfg),
-                       out_dir=out_dir)
+                       out_dir=out_dir,
+                       numerical_times=[r.solver_seconds for r in test_records])
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)

@@ -1,0 +1,146 @@
+"""Tests for meshing/triangulation, persistence, lazy dataset, augmentation,
+visualization, and the speed-up wiring."""
+import os
+
+import numpy as np
+import pytest
+
+from mswe_gnn_tpu.data.augment import rotate_processed, rotate_record
+from mswe_gnn_tpu.data.dataset import (
+    fit_dataset_scalers, make_spec, process_record, to_temporal_samples,
+)
+from mswe_gnn_tpu.data.io import LazyFloodDataset, load_records, save_records
+from mswe_gnn_tpu.data.simulate import random_dem_fn
+from mswe_gnn_tpu.data.synthetic import generate_simulation_record
+from mswe_gnn_tpu.data.triangulate import (
+    generate_polygon, point_in_polygon, triangulate_polygon,
+)
+
+SCALERS = {"area_scaler": "standard", "edge_length_scaler": "standard"}
+
+
+def test_generate_polygon_and_containment(rng):
+    poly = generate_polygon(rng, avg_radius=100.0, num_vertices=12)
+    assert poly.shape == (12, 2)
+    centroid = poly.mean(0, keepdims=True)
+    assert point_in_polygon(centroid, poly)[0]
+    far = centroid + np.asarray([[1e5, 1e5]])
+    assert not point_in_polygon(far, poly)[0]
+
+
+def test_triangulate_polygon_mesh_sanity(rng):
+    dem = random_dem_fn(rng, extent=400.0)
+    poly = generate_polygon(rng, avg_radius=400.0, num_vertices=10,
+                            irregularity=0.2, spikiness=0.1)
+    mesh = triangulate_polygon(poly, target_edge=60.0, dem_fn=dem, rng=rng)
+    assert mesh.num_faces > 50
+    assert mesh.num_edges > mesh.num_faces  # interior adjacency both ways
+    assert np.all(mesh.area > 0)
+    # dual edges are symmetric
+    pairs = set(map(tuple, mesh.dual_edge_index.T.tolist()))
+    assert all((b, a) in pairs for a, b in pairs)
+    assert len(mesh.boundary_faces) > 0
+
+
+def test_triangulated_simulation_record():
+    rec = generate_simulation_record(7, nx=10, ny=10, num_scales=2,
+                                     total_hours=4, substeps=2,
+                                     mesh_type="triangulated")
+    assert rec.mesh.num_scales == 2
+    assert rec.wd.shape[0] == rec.mesh.num_nodes
+    assert rec.solver_seconds > 0
+    # water actually entered the domain
+    assert rec.wd[:, -1].max() > 0
+    # builds valid padded samples end to end
+    scalers = fit_dataset_scalers([rec], SCALERS)
+    proc = process_record(rec, scalers)
+    spec = make_spec(rec.mesh, len(rec.mesh.ghosts.ghost_nodes), pad_multiple=8)
+    s = to_temporal_samples(proc, spec, previous_t=2, rollout_steps=1)[0]
+    assert s.x_static.shape[0] == spec.num_nodes
+
+
+def test_hdf5_roundtrip_and_lazy_dataset(tmp_path):
+    recs = [generate_simulation_record(i, nx=8, ny=8, num_scales=2,
+                                       total_hours=4, substeps=2)
+            for i in range(2)]
+    path = str(tmp_path / "ds.h5")
+    save_records(path, recs)
+    back = load_records(path, seed=0)
+    assert len(back) == 2
+    np.testing.assert_allclose(back[0].wd, recs[0].wd)
+    np.testing.assert_allclose(back[0].mesh.meshes[0].face_xy,
+                               recs[0].mesh.meshes[0].face_xy)
+    assert back[0].mesh.ghosts.type_bc == recs[0].mesh.ghosts.type_bc
+
+    scalers = fit_dataset_scalers(back, SCALERS)
+    lazy = LazyFloodDataset([path], scalers, previous_t=2, rollout_steps=1,
+                            pad_multiple=8)
+    assert len(lazy) > 0
+    g = lazy[0]
+    assert g.x_dynamic.shape[1] == 4
+    g_last = lazy[len(lazy) - 1]
+    assert g_last.y.shape[-1] == 1
+    lazy.close()
+
+
+def test_rotation_augmentation(rng):
+    rec = generate_simulation_record(3, nx=8, ny=8, num_scales=2,
+                                     total_hours=4, substeps=2)
+    rot = rotate_record(rec, 90.0)
+    # |v| preserved under rotation
+    np.testing.assert_allclose(np.hypot(rot.vx, rot.vy),
+                               np.hypot(rec.vx, rec.vy), atol=1e-6)
+    # 90 deg: x -> -y
+    np.testing.assert_allclose(rot.mesh.meshes[0].face_xy[:, 0],
+                               -rec.mesh.meshes[0].face_xy[:, 1], atol=1e-9)
+    # processed features: scalar features invariant -> identical samples
+    scalers = fit_dataset_scalers([rec], SCALERS)
+    proc = process_record(rec, scalers)
+    proc_rot = rotate_processed(
+        proc, 45.0,
+        selected_node_features={"slopes": False, "area": True, "DEM": True},
+        selected_edge_features={"edge_length": True,
+                                "edge_relative_distance": False})
+    np.testing.assert_allclose(proc_rot.x_static, proc.x_static)
+
+
+def test_visualization_outputs(tmp_path):
+    from mswe_gnn_tpu.utils.visualization import PlotRollout, plot_dem
+
+    import matplotlib.pyplot as plt
+
+    rec = generate_simulation_record(1, nx=8, ny=8, num_scales=2,
+                                     total_hours=5, substeps=2)
+    n0 = rec.mesh.meshes[0].num_faces
+    T = rec.wd.shape[1]
+    pred = np.stack([rec.wd[:n0], np.zeros_like(rec.wd[:n0])], 1)
+    real = pred * 0.9
+    pr = PlotRollout(rec.mesh, pred, real, temporal_res=60.0)
+    f1 = str(tmp_path / "frame.png")
+    pr.frame(T - 1, out_path=f1)
+    f2 = str(tmp_path / "fat.png")
+    pr.fat_comparison(out_path=f2)
+    f3 = str(tmp_path / "scales.png")
+    pr.scales_plot(out_path=f3)
+    video = pr.create_video(str(tmp_path / "roll.gif"), fps=2)
+    for p in (f1, f2, f3, video):
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+    fig, ax = plt.subplots()
+    plot_dem(rec.mesh.meshes[0], ax=ax)
+    plt.close(fig)
+
+
+def test_speedup_in_summary():
+    from mswe_gnn_tpu.utils.analysis import SpatialAnalysis
+
+    rec = generate_simulation_record(2, nx=8, ny=8, num_scales=2,
+                                     total_hours=4, substeps=2)
+    scalers = fit_dataset_scalers([rec], SCALERS)
+    proc = process_record(rec, scalers)
+    spec = make_spec(rec.mesh, len(rec.mesh.ghosts.ghost_nodes), pad_multiple=8)
+    g = to_temporal_samples(proc, spec, previous_t=2, rollout_steps=-1)[0]
+    pred = np.zeros((spec.num_nodes, 2, g.y.shape[-1]), np.float32)
+    sa = SpatialAnalysis([pred], [g], prediction_times=[0.1],
+                         numerical_times=[rec.solver_seconds])
+    s = sa.summary()
+    assert "speed_up_mean" in s and s["speed_up_mean"] > 0
