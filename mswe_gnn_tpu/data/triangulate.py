@@ -117,11 +117,29 @@ def triangulate_polygon(polygon: np.ndarray, target_edge: float,
 
 def mesh_from_triangulation(points: np.ndarray, cells: np.ndarray,
                             dem_fn: Callable) -> Mesh:
-    """Dual (cell-adjacency) graph of a triangulation -> ``Mesh``."""
+    """Dual (cell-adjacency) graph of a triangulation -> ``Mesh``.
+
+    Uses the native C++ core (native/meshcore.cpp) when available — the
+    Python dict pass is the dataset-build bottleneck on 10M-edge meshes."""
     v = points[cells]
     face_xy = v.mean(1)
     area = 0.5 * np.abs(_cross2(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]))
     dem = dem_fn(face_xy[:, 0], face_xy[:, 1]).astype(np.float64)
+
+    from mswe_gnn_tpu import native
+
+    if native.available():
+        res = native.dual_graph_from_triangles(cells)
+        if res is not None:
+            edge_index, walls, boundary = res
+            shared = np.linalg.norm(points[walls[:, 0]] - points[walls[:, 1]],
+                                    axis=1)
+            dist, rel, slope = _derive_edge_attrs(face_xy, dem, edge_index)
+            return Mesh(face_xy=face_xy, area=area, dem=dem,
+                        dual_edge_index=edge_index, face_distance=dist,
+                        face_relative_distance=rel, edge_slope=slope,
+                        shared_length=shared,
+                        boundary_faces=np.where(boundary)[0])
 
     # shared-edge adjacency via sorted vertex-pair keys
     edge_owner = {}

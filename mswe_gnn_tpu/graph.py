@@ -346,6 +346,13 @@ def build_edge_slot_table(edge_index: np.ndarray, edge_mask: np.ndarray,
     mesh graphs).
     """
     dst = np.asarray(edge_index[1])
+    from mswe_gnn_tpu import native
+
+    if native.available():
+        res = native.build_ell_table(dst, np.asarray(edge_mask, np.float32),
+                                     num_nodes, round_to=round_to)
+        if res is not None:
+            return res
     real = np.asarray(edge_mask) > 0
     indeg = np.bincount(dst[real], minlength=num_nodes)
     dmax = int(indeg.max()) if len(dst) else 1
