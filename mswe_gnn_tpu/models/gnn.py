@@ -50,6 +50,7 @@ class GNNConfig:
     residuals_base: float = 2.0
     residual_init: str = "exp"
     compute_dtype: str = "float32"
+    use_pallas: bool = False
 
     @property
     def out_dim(self) -> int:
@@ -78,6 +79,7 @@ class GNNConfig:
             mlp_activation=self.mlp_activation,
             mlp_bias=True,
             compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
         )
 
 

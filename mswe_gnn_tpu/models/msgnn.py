@@ -54,6 +54,7 @@ class MSGNNConfig:
     residuals_base: float = 2.0
     residual_init: str = "exp"
     compute_dtype: str = "float32"
+    use_pallas: bool = False
 
     @property
     def out_dim(self) -> int:
@@ -90,6 +91,7 @@ class MSGNNConfig:
             mlp_activation=self.mlp_activation,
             mlp_bias=True,
             compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
         )
 
     def intra_cfg(self) -> SWEGNNConfig:
@@ -107,6 +109,7 @@ class MSGNNConfig:
             mlp_activation=self.mlp_activation,
             mlp_bias=True,
             compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
         )
 
 

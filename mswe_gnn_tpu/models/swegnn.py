@@ -64,6 +64,7 @@ class SWEGNNConfig:
     mlp_activation: str = "prelu"
     mlp_bias: bool = True
     compute_dtype: str = "float32"   # 'bfloat16' = MXU-rate matmuls + half-width hop traffic
+    use_pallas: bool = False         # fused VMEM-resident hop kernel (ops/pallas_hop.py)
 
     @property
     def edge_input_size(self) -> int:
@@ -205,6 +206,23 @@ def apply_swegnn(
         # intermediates, no scatter.
         s_tab = jnp.take(s_ij, agg_table, axis=0) * agg_mask[..., None]  # [Nd,D,F]
         src_tab = jnp.take(src, agg_table)                               # [Nd,D]
+        if cfg.use_pallas:
+            from mswe_gnn_tpu.ops.pallas_hop import fused_hop, supported
+
+            if (jax.default_backend() == "tpu"
+                    and supported(num_nodes, out.shape[1], out.dtype)):
+                for k in range(cfg.K):
+                    agg = fused_hop(out, src_tab, s_tab, lo,
+                                    with_gradient=cfg.with_gradient,
+                                    upwind=cfg.upwind_mode)
+                    if cfg.with_filter_matrix:
+                        agg = apply_linear(params["filters"][k + 1], agg,
+                                           compute_dtype=cd)
+                    if dst_range is None:
+                        out = out + agg
+                    else:
+                        out = out.at[lo:hi].add(agg)
+                return out
         if cd is not None:
             # halve hop-loop HBM traffic: flux table and the hop state live
             # in bf16; the filter matmul accumulates back to f32

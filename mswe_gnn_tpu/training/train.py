@@ -221,7 +221,11 @@ class Trainer:
                 record.update(metrics)
                 if metrics["val_loss"] < self.best_val_loss:
                     self.best_val_loss = metrics["val_loss"]
-                    self.best_params = self.params
+                    # deep copy: train_step donates its params buffers, so a
+                    # bare alias would be deleted by the next step (TPU only —
+                    # CPU ignores donation, which is why tests can't catch it)
+                    self.best_params = jax.tree_util.tree_map(
+                        lambda x: jnp.array(x, copy=True), self.params)
                 # early stop on CSI@0.05 as the reference does (main.py:94)
                 if metrics["val_CSI_005"] > self.best_val_csi + 1e-12:
                     self.best_val_csi = metrics["val_CSI_005"]

@@ -19,6 +19,20 @@ from mswe_gnn_tpu.training.loss import conservation_residual
 from mswe_gnn_tpu.utils.metrics import get_csi, get_f1, get_rollout_loss, get_speed_up
 
 
+def get_pareto_front(points: np.ndarray, ascending: bool = False) -> np.ndarray:
+    """Pareto front of a 2-objective array [n, 2]
+    (reference utils/miscellaneous.py:245-264)."""
+    order = np.lexsort((points[:, 1], points[:, 0]))
+    if not ascending:
+        order = order[::-1]
+    sorted_pts = points[order]
+    front = [sorted_pts[0]]
+    for p in sorted_pts[1:]:
+        if p[1] >= front[-1][1]:
+            front.append(p)
+    return np.asarray(front)
+
+
 class SpatialAnalysis:
     def __init__(self, predicted_rollouts: Sequence[np.ndarray],
                  test_graphs: Sequence[FloodGraph],

@@ -127,3 +127,16 @@ def get_sufficient_k_hops(edge_index: np.ndarray, wd: np.ndarray,
         if k > max_k:
             break
     return k
+
+
+def get_sufficient_k_hops_per_scale(edge_index: np.ndarray, wd: np.ndarray,
+                                    edge_ptr, node_ptr,
+                                    cover_percentage: float = 0.999):
+    """Per-scale receptive-field sufficiency
+    (reference utils/miscellaneous.py:303-309)."""
+    out = []
+    for i in range(len(node_ptr) - 1):
+        ei = edge_index[:, edge_ptr[i]: edge_ptr[i + 1]] - node_ptr[i]
+        out.append(get_sufficient_k_hops(ei, wd[node_ptr[i]: node_ptr[i + 1]],
+                                         cover_percentage))
+    return out
