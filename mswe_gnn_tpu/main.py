@@ -152,7 +152,11 @@ def run_training(cfg: Dict, out_dir: str) -> Dict:
     opts = trainer_options(cfg)
     multiscale = cfg["models"]["model_type"] == "MSGNN"
     tr = Trainer(apply_fn, model_cfg, params, opts, train, val,
-                 multiscale=multiscale, log_fn=logger.log)
+                 multiscale=multiscale, log_fn=logger.log,
+                 checkpoint_dir=os.path.join(out_dir, "autosave"))
+    if os.path.exists(os.path.join(out_dir, "autosave", "meta.json")):
+        resumed = tr.resume(os.path.join(out_dir, "autosave"))
+        print(f"resumed from epoch {resumed}")
     tr.fit()
 
     save_checkpoint(os.path.join(out_dir, "best"), tr.best_params,

@@ -69,10 +69,78 @@ def make_optimizer(opts: TrainerOptions, steps_per_epoch: int):
 
 
 def curriculum_rollout_steps(epoch: int, opts: TrainerOptions) -> int:
-    """Pushforward curriculum (reference training/train.py:231-241)."""
+    """Pushforward curriculum, 'epoch' mode (reference training/train.py:231-241)."""
     if opts.curriculum_epoch == 0:
         return opts.max_rollout_steps
     return min(epoch // opts.curriculum_epoch + 1, opts.max_rollout_steps)
+
+
+class CurriculumController:
+    """Adaptive curriculum modes the reference declares ('loss', 'plateau',
+    reference training/train.py:211-241 — only 'epoch' is implemented there).
+
+    - 'epoch'  : grow every ``curriculum_epoch`` epochs
+    - 'loss'   : grow when train loss drops below ``loss_threshold``
+    - 'plateau': grow after ``patience`` epochs without loss improvement
+    """
+
+    def __init__(self, opts: TrainerOptions, mode: str = "epoch",
+                 loss_threshold: float = 0.01, patience: int = 5,
+                 min_rel_improvement: float = 1e-3):
+        assert mode in ("epoch", "loss", "plateau"), mode
+        self.opts = opts
+        self.mode = mode
+        self.loss_threshold = loss_threshold
+        self.patience = patience
+        self.min_rel_improvement = min_rel_improvement
+        self.rollout_steps = 1 if opts.curriculum_epoch or mode != "epoch" \
+            else opts.max_rollout_steps
+        self._best = float("inf")
+        self._stall = 0
+
+    def on_epoch_start(self, epoch: int) -> int:
+        if self.mode == "epoch":
+            self.rollout_steps = curriculum_rollout_steps(epoch, self.opts)
+        return self.rollout_steps
+
+    def on_epoch_end(self, train_loss: float) -> None:
+        grow = False
+        if self.mode == "loss":
+            grow = train_loss < self.loss_threshold
+        elif self.mode == "plateau":
+            if train_loss < self._best * (1 - self.min_rel_improvement):
+                self._best = train_loss
+                self._stall = 0
+            else:
+                self._stall += 1
+                if self._stall >= self.patience:
+                    grow = True
+        if grow and self.rollout_steps < self.opts.max_rollout_steps:
+            self.rollout_steps += 1
+            self._best = float("inf")
+            self._stall = 0
+
+
+def find_max_batch_size(apply_fn, cfg, params, graphs, opts: TrainerOptions,
+                        multiscale: bool = True, start: int = 1,
+                        limit: int = 256) -> int:
+    """Double the batch size at max rollout until compilation/execution fails
+    (the reference's CurriculumBatchSizeFinder, training/train.py:243-251)."""
+    best = 0
+    bs = start
+    optimizer = make_optimizer(opts, steps_per_epoch=1)
+    while bs <= min(limit, len(graphs)):
+        try:
+            batch = stack_graphs(graphs[:bs])
+            p = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+            train_step(p, optimizer.init(p), batch, apply_fn=apply_fn, cfg=cfg,
+                       rollout_steps=opts.max_rollout_steps, opts=opts,
+                       multiscale=multiscale, optimizer=optimizer)
+            best = bs
+            bs *= 2
+        except Exception:
+            break
+    return max(best, start)
 
 
 def pushforward_loss(
@@ -167,10 +235,16 @@ class Trainer:
 
     def __init__(self, apply_fn, cfg, params, opts: TrainerOptions,
                  train_graphs: List[FloodGraph], val_graphs: List[FloodGraph],
-                 multiscale: bool = True, log_fn: Optional[Callable] = None):
+                 multiscale: bool = True, log_fn: Optional[Callable] = None,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every: int = 25,
+                 curriculum_mode: str = "epoch"):
         self.apply_fn = apply_fn
         self.cfg = cfg
-        self.params = params
+        # own a private copy: train_step donates its params buffers, and the
+        # caller may hold (and reuse) the originals
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params)
         self.opts = opts
         self.train_graphs = train_graphs
         self.val_graphs = val_graphs
@@ -184,6 +258,31 @@ class Trainer:
         self.best_params = params
         self.best_val_loss = float("inf")
         self.best_val_csi = -float("inf")
+        self.start_epoch = 0
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.curriculum = CurriculumController(opts, mode=curriculum_mode)
+
+    def save(self, path: str, epoch: int) -> None:
+        """Periodic checkpoint for crash recovery (params + opt state)."""
+        from mswe_gnn_tpu.training.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.params, opt_state=self.opt_state,
+                        epoch=epoch, history=self.history)
+
+    def resume(self, path: str) -> int:
+        """Restore params/opt_state/epoch from a crash checkpoint and return
+        the epoch to continue from (restart-from-latest recovery)."""
+        from mswe_gnn_tpu.training.checkpoint import restore_checkpoint
+
+        params, opt_state, meta = restore_checkpoint(path, self.params,
+                                                     self.opt_state)
+        self.params = params
+        if opt_state is not None:
+            self.opt_state = opt_state
+        self.history = meta.get("history", [])
+        self.start_epoch = int(meta.get("epoch", 0))
+        return self.start_epoch
 
     def _batches(self, graphs, batch_size, shuffle):
         idx = np.arange(len(graphs))
@@ -201,8 +300,8 @@ class Trainer:
         opts = self.opts
         max_epochs = max_epochs if max_epochs is not None else opts.max_epochs
         epochs_without_improvement = 0
-        for epoch in range(max_epochs):
-            rollout_steps = curriculum_rollout_steps(epoch, opts)
+        for epoch in range(self.start_epoch, max_epochs):
+            rollout_steps = self.curriculum.on_epoch_start(epoch)
             t0 = time.time()
             losses = []
             for batch in self._batches(self.train_graphs, opts.batch_size, True):
@@ -213,6 +312,7 @@ class Trainer:
                     multiscale=self.multiscale, optimizer=self.optimizer)
                 losses.append(loss)
             train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
+            self.curriculum.on_epoch_end(train_loss)
             record = {"epoch": epoch, "rollout_steps": rollout_steps,
                       "train_loss": train_loss, "epoch_time": time.time() - t0}
 
@@ -238,6 +338,9 @@ class Trainer:
                     break
             self.history.append(record)
             self.log_fn(record)
+            if (self.checkpoint_dir
+                    and (epoch + 1) % self.checkpoint_every == 0):
+                self.save(self.checkpoint_dir, epoch + 1)
         return self.history
 
     def validate(self) -> Dict[str, float]:
