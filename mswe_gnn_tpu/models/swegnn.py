@@ -209,8 +209,7 @@ def apply_swegnn(
         if cfg.use_pallas:
             from mswe_gnn_tpu.ops.pallas_hop import fused_hop, supported
 
-            if (jax.default_backend() == "tpu"
-                    and supported(num_nodes, out.shape[1], out.dtype)):
+            if supported(num_nodes, out.shape[1], out.dtype):
                 for k in range(cfg.K):
                     agg = fused_hop(out, src_tab, s_tab, lo,
                                     with_gradient=cfg.with_gradient,

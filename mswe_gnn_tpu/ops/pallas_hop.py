@@ -13,8 +13,15 @@ only the [tile, F] aggregate back — the message tensor never exists in HBM.
 The K-hop loop stays outside (the filter matmul between hops is an MXU op XLA
 handles well); ``fused_hop`` is one pallas_call per hop.
 
-Falls back transparently: ``supported(...)`` gates on VMEM fit; callers use
-the XLA path otherwise.
+STATUS: interpret-mode verified; disabled on hardware. Mosaic's gather
+lowering currently only supports same-shape gathers
+(``indices.shape == input.shape + (1,)`` in ``_gather_lowering_rule``), so an
+arbitrary [tile, F] row-gather from the [N, F] VMEM-resident array cannot be
+expressed; per-row async-DMA gathering (~180k row DMAs/hop at dk15 scale)
+would be slower than XLA's HBM gather, which measures ~360 GB/s effective on
+v5e. ``supported()`` therefore returns False outside interpret mode and the
+node-major XLA path (models/swegnn.py) remains the production hop. Revisit
+when Mosaic grows a general dynamic-gather.
 """
 from __future__ import annotations
 
@@ -30,7 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_OUT_BYTES = 10 * 1024 * 1024
 
 
-def supported(num_nodes: int, feat: int, dtype=jnp.float32) -> bool:
+def supported(num_nodes: int, feat: int, dtype=jnp.float32,
+              interpret: bool = False) -> bool:
+    if not interpret:
+        return False  # Mosaic gather limitation — see module docstring
     itemsize = jnp.dtype(dtype).itemsize
     return num_nodes * feat * itemsize <= _VMEM_OUT_BYTES and feat % 8 == 0
 
@@ -51,9 +61,13 @@ def _hop_kernel(out_ref, src_tab_ref, s_tab_ref, out_dst_ref, agg_ref, *,
     dst_active = (jnp.sum(out_dst, axis=1, keepdims=True) != 0).astype(out_dst.dtype)
 
     acc = jnp.zeros_like(out_dst)
+    feat = out_dst.shape[1]
+    out_full = out_ref[:]
     for d in range(d_max):  # D is small (4-8); unrolled
         idx = src_tab_ref[:, d]
-        nb = jnp.take(out_ref[:], idx, axis=0)                   # [T, F] VMEM gather
+        # VMEM row gather via take_along_axis (Mosaic dynamic-gather pattern)
+        idx2 = jax.lax.broadcast_in_dim(idx, (tile, feat), (0,))
+        nb = jnp.take_along_axis(out_full, idx2, axis=0)         # [T, F]
         s = s_tab_ref[:, d * out_dst.shape[1]:(d + 1) * out_dst.shape[1]]
         src_active = (jnp.sum(nb, axis=1, keepdims=True) != 0).astype(out_dst.dtype)
         act = jnp.maximum(src_active, dst_active)

@@ -43,9 +43,10 @@ def test_fused_hop_matches_xla(rng, with_gradient, upwind):
 
 
 def test_supported_gate():
-    assert supported(30000, 64)
-    assert not supported(10_000_000, 64)
-    assert not supported(100, 63)
+    assert supported(30000, 64, interpret=True)
+    assert not supported(10_000_000, 64, interpret=True)
+    assert not supported(100, 63, interpret=True)
+    assert not supported(30000, 64)  # hardware path disabled (Mosaic gather)
 
 
 def test_fused_hop_ragged_tile(rng):
