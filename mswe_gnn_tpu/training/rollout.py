@@ -40,14 +40,27 @@ def inject_bc(x_dynamic: jax.Array, graph: FloodGraph, window: jax.Array) -> jax
     (reference utils/dataset.py:486-497).
 
     ``window`` is [Nbc, previous_t]; the (bc_kind-1)-th interleaved column of
-    every input step is overwritten for real (non-padded) ghost nodes. Padded
-    ghost rows may alias node 0, so the update blends with the existing value
-    under the bc mask instead of writing unconditionally.
+    every input step is overwritten for real (non-padded) ghost nodes.
+
+    Implemented scatter-free (TPU: strided-column scatters before the model
+    cost ~4 ms/step on a dk15-class mesh by breaking fusion): a one-hot
+    selection matrix turns the update into elementwise ops + one tiny matmul.
+    Padded ghost rows are excluded by the bc mask, so aliased indices are
+    harmless.
     """
+    n = x_dynamic.shape[0]
+    p = graph.previous_t
     col = graph.bc_kind - 1
-    cur = x_dynamic[graph.bc_nodes][:, col::NUM_WATER_VARS]  # [Nbc, previous_t]
-    new = jnp.where(graph.bc_mask[:, None] > 0, window, cur)
-    return x_dynamic.at[graph.bc_nodes, col::NUM_WATER_VARS].set(new)
+    # sel[i, b] = 1 iff node i is real ghost b
+    node_ids = jax.lax.broadcasted_iota(jnp.int32, (n, graph.bc_nodes.shape[0]), 0)
+    sel = ((node_ids == graph.bc_nodes[None, :]).astype(x_dynamic.dtype)
+           * graph.bc_mask[None, :])
+    bc_rows = sel @ window                                  # [N, previous_t]
+    is_bc = jnp.minimum(sel.sum(axis=1, keepdims=True), 1.0)  # [N, 1]
+    x = x_dynamic.reshape(n, p, NUM_WATER_VARS)
+    new_col = jnp.where(is_bc > 0, bc_rows, x[:, :, col])
+    x = x.at[:, :, col].set(new_col)  # static-index update: pure elementwise
+    return x.reshape(n, p * NUM_WATER_VARS)
 
 
 def shift_prediction(x_dynamic: jax.Array, pred: jax.Array, previous_t: int) -> jax.Array:
