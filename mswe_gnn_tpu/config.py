@@ -10,7 +10,6 @@ reference experiment file ports over unchanged. Extra (new) group:
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional
 
 import yaml

@@ -11,16 +11,14 @@ static-shape arrays.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from mswe_gnn_tpu import NUM_WATER_VARS
-from mswe_gnn_tpu.data.meshing import GhostCells, Mesh, MultiscaleMesh
+from mswe_gnn_tpu.data.meshing import MultiscaleMesh
 from mswe_gnn_tpu.data.scaling import (
     Scaler, apply_scaler, fit_multiscale_scaler, fit_scaler,
 )
-from mswe_gnn_tpu.data.simulate import Simulation
 from mswe_gnn_tpu.graph import FloodGraph, GraphSpec, build_flood_graph, round_up
 
 DEFAULT_NODE_FEATURES = {"slopes": False, "slope": False, "area": True, "DEM": True}

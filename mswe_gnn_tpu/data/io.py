@@ -17,7 +17,6 @@ import warnings
 from typing import Dict, List, Optional, Sequence
 
 import h5py
-import numpy as np
 
 from mswe_gnn_tpu.data.dataset import (
     ProcessedSimulation, SimulationRecord, make_spec, process_record,

@@ -8,13 +8,13 @@ Weibull hydrographs, and the diffusive-wave solver from data/simulate.py.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from mswe_gnn_tpu.data.dataset import SimulationRecord, pool_to_scales
 from mswe_gnn_tpu.data.meshing import (
-    GhostCells, Mesh, MultiscaleMesh, add_ghost_cells, grid_mesh, stack_meshes,
+    Mesh, MultiscaleMesh, add_ghost_cells, grid_mesh, stack_meshes,
 )
 from mswe_gnn_tpu.data.simulate import (
     random_dem_fn, random_hydrograph, run_diffusive_wave,

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from mswe_gnn_tpu import NUM_WATER_VARS
 
 
 @dataclasses.dataclass(frozen=True, eq=True)

@@ -16,7 +16,7 @@ V-cycle (scales ordered finest=0 ... coarsest=L-1):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -6,11 +6,9 @@ Replacement for the reference's ``get_model`` factory
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 
-from mswe_gnn_tpu.graph import FloodGraph
 from mswe_gnn_tpu.models.gnn import GNNConfig, apply_gnn, init_gnn
 from mswe_gnn_tpu.models.msgnn import MSGNNConfig, apply_msgnn, init_msgnn
 

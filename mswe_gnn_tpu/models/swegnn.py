@@ -43,7 +43,6 @@ from mswe_gnn_tpu.models.mlp import (
     init_linear,
     init_mlp,
     matmul,
-    mlp_sizes,
 )
 from mswe_gnn_tpu.ops.segment import segment_sum
 

@@ -15,7 +15,6 @@ Use inside ``jax.shard_map`` with mesh axes ("data", "graph").
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ lay ``graph`` on the minor (ICI-adjacent) axis.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import numpy as np

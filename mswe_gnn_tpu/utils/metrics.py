@@ -6,9 +6,8 @@ variable 0 is water depth h, variable 1 is |q|.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
