@@ -87,7 +87,14 @@ def count_edge_messages(mesh, cfg, steps: int) -> int:
     return per_step * steps
 
 
+def _setup_cache():
+    from mswe_gnn_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
 def main():
+    _setup_cache()
     t0 = time.time()
     cfg, params, apply_fn, sample, mesh = build_bench_problem()
     T = int(sample.y.shape[-1])

@@ -189,7 +189,14 @@ def run_eval(cfg: Dict, ckpt: str, out_dir: str) -> Dict:
     return summary
 
 
+def _setup_cache():
+    from mswe_gnn_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
 def main(argv=None):
+    _setup_cache()
     ap = argparse.ArgumentParser(description="mswe_gnn_tpu experiment driver")
     ap.add_argument("mode", choices=["train", "eval"])
     ap.add_argument("--config", default=None, help="YAML config path")
