@@ -70,20 +70,25 @@ def prepare_data(cfg: Dict) -> Tuple[List[FloodGraph], List[FloodGraph],
                   pad_multiple=sd.get("pad_multiple", 64))
         for r in records])
 
-    def build(records_, rollout_steps):
+    def build(records_, rollout_steps, params=None):
+        params = params if params is not None else tdp
         out = []
         for r in records_:
             proc = process_record(r, scalers, **feats)
             out += to_temporal_samples(
-                proc, spec, previous_t=tdp["previous_t"],
+                proc, spec, previous_t=params["previous_t"],
                 rollout_steps=rollout_steps,
-                time_start=tdp.get("time_start", 0),
-                time_stop=tdp.get("time_stop", -1))
+                time_start=params.get("time_start", 0),
+                time_stop=params.get("time_stop", -1))
         return out
 
     train = build(train_records, tdp["rollout_steps"])
     val = build(val_records, -1)     # full-rollout validation (reference train.py:157)
-    test = build(test_records, -1)
+    # test windowing falls back to train params minus rollout_steps
+    # (reference utils/dataset.py:547-557)
+    test_params = dict(config_lib.temporal_test_parameters(cfg),
+                       previous_t=tdp["previous_t"])
+    test = build(test_records, -1, params=test_params)
     return train, val, test, scalers, test_records
 
 
