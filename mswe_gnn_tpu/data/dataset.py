@@ -209,15 +209,27 @@ def _node_slopes(mesh: MultiscaleMesh):
 
 def make_spec(mesh: MultiscaleMesh, num_bc: int, pad_multiple: int = 8) -> GraphSpec:
     """Padded GraphSpec for a mesh (shared across a dataset when sizes match
-    after rounding; distinct meshes can share one spec by passing the max)."""
+    after rounding; distinct meshes share one spec via :func:`union_spec`)."""
     node_counts = tuple(round_up(m.num_faces, pad_multiple) for m in mesh.meshes)
     edge_counts = tuple(round_up(m.num_edges, pad_multiple) for m in mesh.meshes)
     intra_counts = tuple(
         round_up(int(mesh.intra_edge_ptr[i + 1] - mesh.intra_edge_ptr[i]), pad_multiple)
         for i in range(mesh.num_scales - 1))
+
+    def deg(dst, n):
+        if len(dst) == 0:
+            return 4
+        return round_up(max(int(np.bincount(dst, minlength=n).max()), 1), 4)
+
+    ei = mesh.edge_index
+    in_degree = deg(ei[1], mesh.num_nodes)
+    pool_degree = deg(mesh.intra_edge_index[0], mesh.num_nodes)
+    unpool_degree = deg(mesh.intra_edge_index[1], mesh.num_nodes)
     return GraphSpec(node_counts=node_counts, edge_counts=edge_counts,
                      intra_edge_counts=intra_counts,
-                     num_bc=round_up(max(num_bc, 1), pad_multiple))
+                     num_bc=round_up(max(num_bc, 1), pad_multiple),
+                     in_degree=in_degree, pool_degree=pool_degree,
+                     unpool_degree=unpool_degree)
 
 
 def union_spec(specs: Sequence[GraphSpec]) -> GraphSpec:
@@ -230,7 +242,10 @@ def union_spec(specs: Sequence[GraphSpec]) -> GraphSpec:
                           for i in range(len(s0.edge_counts))),
         intra_edge_counts=tuple(max(s.intra_edge_counts[i] for s in specs)
                                 for i in range(len(s0.intra_edge_counts))),
-        num_bc=max(s.num_bc for s in specs))
+        num_bc=max(s.num_bc for s in specs),
+        in_degree=max(s.in_degree for s in specs),
+        pool_degree=max(s.pool_degree for s in specs),
+        unpool_degree=max(s.unpool_degree for s in specs))
 
 
 def to_temporal_samples(

@@ -38,6 +38,11 @@ class GraphSpec:
     edge_counts: Tuple[int, ...]          # padded dual-graph edges per scale
     intra_edge_counts: Tuple[int, ...]    # padded transfer edges between scale i and i+1
     num_bc: int                           # padded number of ghost (BC) nodes
+    # padded ELL table widths — part of the spec so graphs from differently
+    # shaped meshes batch together (leaf shapes must match exactly)
+    in_degree: int = 0                    # 0 = derive from this mesh alone
+    pool_degree: int = 0
+    unpool_degree: int = 0
 
     @property
     def num_scales(self) -> int:
@@ -301,10 +306,13 @@ def build_flood_graph(
         bcv = np.zeros((nbc, 1), dtype=dtype)
         bel = np.ones(nbc, dtype=dtype)
 
-    in_tab, in_msk = build_edge_slot_table(ei, emask, N, round_to=4)
+    in_tab, in_msk = build_edge_slot_table(ei, emask, N, round_to=4,
+                                           d_fixed=spec.in_degree)
     pool_tab, pool_msk = build_edge_slot_table(
-        np.stack([iei[1], iei[0]]), iemask, N, round_to=4)
-    unpool_tab, unpool_msk = build_edge_slot_table(iei, iemask, N, round_to=4)
+        np.stack([iei[1], iei[0]]), iemask, N, round_to=4,
+        d_fixed=spec.pool_degree)
+    unpool_tab, unpool_msk = build_edge_slot_table(iei, iemask, N, round_to=4,
+                                                   d_fixed=spec.unpool_degree)
 
     return FloodGraph(
         in_edge_table=jnp.asarray(in_tab),
@@ -336,7 +344,8 @@ def build_flood_graph(
 
 
 def build_edge_slot_table(edge_index: np.ndarray, edge_mask: np.ndarray,
-                          num_nodes: int, round_to: int = 4):
+                          num_nodes: int, round_to: int = 4,
+                          d_fixed: int = 0):
     """Host-side ELL table: for each node, the ids of its incoming (real)
     edges, padded to the max in-degree rounded up to ``round_to``.
 
@@ -347,7 +356,7 @@ def build_edge_slot_table(edge_index: np.ndarray, edge_mask: np.ndarray,
     dst = np.asarray(edge_index[1])
     from mswe_gnn_tpu import native
 
-    if native.available():
+    if native.available() and d_fixed == 0:
         res = native.build_ell_table(dst, np.asarray(edge_mask, np.float32),
                                      num_nodes, round_to=round_to)
         if res is not None:
@@ -355,7 +364,12 @@ def build_edge_slot_table(edge_index: np.ndarray, edge_mask: np.ndarray,
     real = np.asarray(edge_mask) > 0
     indeg = np.bincount(dst[real], minlength=num_nodes)
     dmax = int(indeg.max()) if len(dst) else 1
-    dmax = max(round_up(max(dmax, 1), round_to), round_to)
+    if d_fixed:
+        assert dmax <= d_fixed, (
+            f"mesh in-degree {dmax} exceeds the spec's table width {d_fixed}")
+        dmax = d_fixed
+    else:
+        dmax = max(round_up(max(dmax, 1), round_to), round_to)
     table = np.zeros((num_nodes, dmax), np.int32)
     mask = np.zeros((num_nodes, dmax), np.float32)
     fill = np.zeros(num_nodes, np.int64)

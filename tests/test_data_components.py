@@ -144,3 +144,24 @@ def test_speedup_in_summary():
                          numerical_times=[rec.solver_seconds])
     s = sa.summary()
     assert "speed_up_mean" in s and s["speed_up_mean"] > 0
+
+
+def test_batching_across_different_meshes():
+    """Regression: graphs from differently shaped meshes (different ELL
+    in-degrees) must stack once they share a union spec."""
+    from mswe_gnn_tpu.data.dataset import union_spec
+    from mswe_gnn_tpu.graph import stack_graphs
+
+    recs = [generate_simulation_record(i, nx=10, ny=10, num_scales=2,
+                                       total_hours=4, substeps=2,
+                                       mesh_type="triangulated")
+            for i in range(2)]
+    scalers = fit_dataset_scalers(recs, SCALERS)
+    spec = union_spec([make_spec(r.mesh, len(r.mesh.ghosts.ghost_nodes),
+                                 pad_multiple=8) for r in recs])
+    graphs = [to_temporal_samples(process_record(r, scalers), spec,
+                                  previous_t=2, rollout_steps=1)[0]
+              for r in recs]
+    batch = stack_graphs(graphs)
+    assert batch.x_static.shape[0] == 2
+    assert batch.in_edge_table.shape == (2, spec.num_nodes, spec.in_degree)
