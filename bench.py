@@ -106,13 +106,19 @@ def main():
     # block_until_ready alone does not synchronize, so time to-host readback
     # of a 1-element result (negligible transfer, true device wall time)
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    if batch > 1:
+    layout = os.environ.get("BENCH_LAYOUT", "concat")
+    if batch > 1 and layout == "vmap":
         from mswe_gnn_tpu.graph import stack_graphs
         from mswe_gnn_tpu.training.rollout import rollout_batch
 
         sample = stack_graphs([sample] * batch)
         roll = jax.jit(lambda p, g: rollout_batch(apply_fn, p, cfg, g, steps=T).sum())
     else:
+        if batch > 1:
+            # disconnected-union batching: one big graph, no vmap
+            from mswe_gnn_tpu.graph import concat_graphs
+
+            sample = concat_graphs([sample] * batch)
         roll = jax.jit(lambda p, g: rollout(apply_fn, p, cfg, g, steps=T).sum())
     t0 = time.time()
     float(roll(params, sample))

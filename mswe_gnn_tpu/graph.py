@@ -72,6 +72,18 @@ class GraphSpec:
     def intra_edge_ptr(self) -> Tuple[int, ...]:
         return tuple(np.cumsum([0, *self.intra_edge_counts]).tolist())
 
+    def tile(self, b: int) -> "GraphSpec":
+        """Spec of ``b`` same-spec graphs concatenated as one disconnected
+        union, keeping the scale-major block structure (each scale block
+        holds the b sub-blocks back to back)."""
+        return GraphSpec(
+            node_counts=tuple(b * c for c in self.node_counts),
+            edge_counts=tuple(b * c for c in self.edge_counts),
+            intra_edge_counts=tuple(b * c for c in self.intra_edge_counts),
+            num_bc=b * self.num_bc,
+            in_degree=self.in_degree, pool_degree=self.pool_degree,
+            unpool_degree=self.unpool_degree)
+
     def node_slice(self, scale: int) -> slice:
         p = self.node_ptr
         return slice(p[scale], p[scale + 1])
@@ -154,6 +166,7 @@ class FloodGraph:
     previous_t: int = struct.field(pytree_node=False, default=1)
     bc_kind: int = struct.field(pytree_node=False, default=2)
     temporal_res: float = struct.field(pytree_node=False, default=60.0)
+    num_graphs: int = struct.field(pytree_node=False, default=1)
 
     @property
     def num_nodes(self) -> int:
@@ -385,6 +398,141 @@ def ell_aggregate(msgs: jax.Array, table: jax.Array, mask: jax.Array) -> jax.Arr
     """Sum per-edge messages into nodes via the ELL table (gather + sum)."""
     gathered = jnp.take(msgs, table, axis=0)          # [N, D, F]
     return (gathered * mask[..., None]).sum(axis=1)
+
+
+def concat_graphs(graphs) -> FloodGraph:
+    """Batch same-spec graphs as ONE disconnected-union graph (PyG-Batch
+    style, but with the scale-major block structure preserved so all static
+    slices keep working on the tiled spec).
+
+    This is the TPU-preferred batching: no vmap (whose batched gathers
+    compile and run poorly at scale) — just bigger blocks. Each scale block
+    of the tiled spec holds the b graphs' sub-blocks back to back; index
+    arrays (edge endpoints, ELL tables, BC nodes) are re-offset accordingly.
+
+    Loss/metric semantics over the union equal the reference's
+    concat-then-mean batch aggregation (reference training/loss.py:68-70);
+    per-graph quantities reshape each scale block to [b, n_scale, ...].
+    """
+    g0 = graphs[0]
+    spec = g0.spec
+    b = len(graphs)
+    for g in graphs[1:]:
+        if g.spec != spec:
+            raise ValueError("all graphs in a batch must share one GraphSpec")
+        if g.previous_t != g0.previous_t or g.bc_kind != g0.bc_kind:
+            raise ValueError("all graphs in a batch must share static settings")
+    if b == 1:
+        return g0
+    tiled = spec.tile(b)
+    ns = spec.num_scales
+    node_ptr = np.asarray(spec.node_ptr)
+    edge_ptr = np.asarray(spec.edge_ptr)
+    intra_ptr = np.asarray(spec.intra_edge_ptr)
+    t_node_ptr = np.asarray(tiled.node_ptr)
+    t_edge_ptr = np.asarray(tiled.edge_ptr)
+    t_intra_ptr = np.asarray(tiled.intra_edge_ptr)
+
+    # id LUTs: old (per-graph) id -> new union id, one row per graph
+    def make_lut(ptr, t_ptr, counts):
+        total = int(ptr[-1])
+        lut = np.zeros((b, total), np.int64)
+        for s in range(len(counts)):
+            ids = np.arange(ptr[s], ptr[s + 1])
+            for g in range(b):
+                lut[g, ids] = t_ptr[s] + g * counts[s] + (ids - ptr[s])
+        return lut
+
+    node_lut = make_lut(node_ptr, t_node_ptr, spec.node_counts)
+    edge_lut = make_lut(edge_ptr, t_edge_ptr, spec.edge_counts)
+    if spec.num_intra_edges > 0:
+        intra_lut = make_lut(intra_ptr, t_intra_ptr, spec.intra_edge_counts)
+    else:
+        intra_lut = np.zeros((b, 1), np.int64)
+
+    def concat_by(lut_ptr, counts, t_ptr, get):
+        """Concatenate per-scale blocks of a per-element array."""
+        parts = []
+        for s in range(len(counts)):
+            for g in range(b):
+                parts.append(np.asarray(get(graphs[g]))[lut_ptr[s]: lut_ptr[s + 1]])
+        return np.concatenate(parts, axis=0)
+
+    def node_cat(get):
+        return concat_by(node_ptr, spec.node_counts, t_node_ptr, get)
+
+    def edge_cat(get):
+        return concat_by(edge_ptr, spec.edge_counts, t_edge_ptr, get)
+
+    def intra_cat(get):
+        if spec.num_intra_edges == 0:
+            return np.asarray(get(graphs[0]))
+        return concat_by(intra_ptr, spec.intra_edge_counts, t_intra_ptr, get)
+
+    # edge endpoints: concat per scale with per-graph node remap
+    ei_parts = []
+    iei_parts = []
+    for s in range(ns):
+        for g in range(b):
+            blk = np.asarray(graphs[g].edge_index)[:, edge_ptr[s]: edge_ptr[s + 1]]
+            ei_parts.append(node_lut[g][blk])
+    for lvl in range(ns - 1):
+        for g in range(b):
+            blk = np.asarray(graphs[g].intra_edge_index)[:, intra_ptr[lvl]: intra_ptr[lvl + 1]]
+            iei_parts.append(node_lut[g][blk])
+    ei = np.concatenate(ei_parts, axis=1).astype(np.int32)
+    iei = (np.concatenate(iei_parts, axis=1).astype(np.int32)
+           if iei_parts else np.zeros((2, 1), np.int32))
+
+    # ELL tables: rows follow node order; entries remapped through edge/intra luts
+    def table_cat(get_tab, lut):
+        parts = []
+        for s in range(ns):
+            for g in range(b):
+                rows = np.asarray(get_tab(graphs[g]))[node_ptr[s]: node_ptr[s + 1]]
+                parts.append(lut[g][rows])
+        return np.concatenate(parts, axis=0).astype(np.int32)
+
+    in_tab = table_cat(lambda g: g.in_edge_table, edge_lut)
+    pool_tab = table_cat(lambda g: g.pool_table, intra_lut)
+    unpool_tab = table_cat(lambda g: g.unpool_table, intra_lut)
+
+    bc_nodes = np.concatenate(
+        [node_lut[g][np.asarray(graphs[g].bc_nodes, np.int64)] for g in range(b)]
+    ).astype(np.int32)
+
+    def bc_cat(get):
+        return np.concatenate([np.asarray(get(graphs[g])) for g in range(b)], 0)
+
+    return FloodGraph(
+        x_static=jnp.asarray(node_cat(lambda g: g.x_static)),
+        x_dynamic=jnp.asarray(node_cat(lambda g: g.x_dynamic)),
+        edge_index=jnp.asarray(ei),
+        edge_attr=jnp.asarray(edge_cat(lambda g: g.edge_attr)),
+        node_mask=jnp.asarray(node_cat(lambda g: g.node_mask)),
+        edge_mask=jnp.asarray(edge_cat(lambda g: g.edge_mask)),
+        intra_edge_index=jnp.asarray(iei),
+        intra_edge_mask=jnp.asarray(intra_cat(lambda g: g.intra_edge_mask)),
+        bc_nodes=jnp.asarray(bc_nodes),
+        bc_mask=jnp.asarray(bc_cat(lambda g: g.bc_mask)),
+        bc_values=jnp.asarray(bc_cat(lambda g: g.bc_values)),
+        bc_edge_length=jnp.asarray(bc_cat(lambda g: g.bc_edge_length)),
+        area=jnp.asarray(node_cat(lambda g: g.area)),
+        dem=jnp.asarray(node_cat(lambda g: g.dem)),
+        y=(jnp.asarray(node_cat(lambda g: g.y))
+           if g0.y is not None else None),
+        in_edge_table=jnp.asarray(in_tab),
+        in_edge_mask=jnp.asarray(node_cat(lambda g: g.in_edge_mask)),
+        pool_table=jnp.asarray(pool_tab),
+        pool_mask=jnp.asarray(node_cat(lambda g: g.pool_mask)),
+        unpool_table=jnp.asarray(unpool_tab),
+        unpool_mask=jnp.asarray(node_cat(lambda g: g.unpool_mask)),
+        spec=tiled,
+        previous_t=g0.previous_t,
+        bc_kind=g0.bc_kind,
+        temporal_res=g0.temporal_res,
+        num_graphs=b,
+    )
 
 
 def stack_graphs(graphs) -> FloodGraph:

@@ -58,17 +58,26 @@ def conservation_residual(
     graph: FloodGraph,
     bc_now: jax.Array,       # [Nbc] BC value at the step boundary (per ghost node)
 ) -> jax.Array:
-    """Signed mass-conservation residual of one graph, in 1e6 m^3
-    (reference training/loss.py:120-168). Finest scale only."""
+    """Signed mass-conservation residual, in 1e6 m^3
+    (reference training/loss.py:120-168). Finest scale only.
+
+    For a concat-batched (disconnected-union) graph, returns the per-graph
+    residuals [num_graphs] via static reshapes of the finest scale block and
+    the BC arrays; a single graph returns a scalar.
+    """
+    b = graph.num_graphs
     delta = pred_wd - input_wd
     vol = graph.area[:, None] * delta
     fs = graph.finest_slice()
-    mask = graph.node_mask[fs, None]
-    predicted_inflow = jnp.sum(vol[fs] * mask)
+    vol_fs = (vol[fs] * graph.node_mask[fs, None]).reshape(b, -1)
+    predicted_inflow = vol_fs.sum(axis=1)                         # [b]
     # theoretical inflow: sum(|q| * L_bc) * dt  (reference utils/dataset.py:577-591)
-    inflow = jnp.sum(bc_now * graph.bc_edge_length * graph.bc_mask) * (60.0 * graph.temporal_res)
-    ghost = jnp.sum(jnp.take(vol[:, 0], graph.bc_nodes) * graph.bc_mask)
-    return (predicted_inflow - inflow - ghost) / 1e6
+    inflow = ((bc_now * graph.bc_edge_length * graph.bc_mask).reshape(b, -1)
+              .sum(axis=1)) * (60.0 * graph.temporal_res)
+    ghost = ((jnp.take(vol[:, 0], graph.bc_nodes) * graph.bc_mask)
+             .reshape(b, -1).sum(axis=1))
+    res = (predicted_inflow - inflow - ghost) / 1e6
+    return res if b > 1 else res[0]
 
 
 def step_loss_sums(

@@ -21,12 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mswe_gnn_tpu.graph import FloodGraph, stack_graphs
+from mswe_gnn_tpu.graph import FloodGraph, concat_graphs, stack_graphs
 from mswe_gnn_tpu.training import loss as loss_lib
 from mswe_gnn_tpu.training.rollout import (
     bc_midpoint,
     bc_window,
     inject_bc,
+    rollout,
     rollout_batch,
     shift_prediction,
 )
@@ -153,7 +154,11 @@ def pushforward_loss(
     multiscale: bool,
 ) -> jax.Array:
     """Mean over rollout steps of the batch-aggregated step loss
-    (reference training/train.py:125-145)."""
+    (reference training/train.py:125-145).
+
+    Accepts either a vmap-stacked batch (leading batch axis) or a
+    concat-batched union graph (2D leaves, ``num_graphs`` >= 1) — the latter
+    is the TPU-preferred layout."""
 
     def per_graph(g: FloodGraph):
         def step_fn(x_dyn, t):
@@ -174,14 +179,23 @@ def pushforward_loss(
 
         _, (sums, counts, cons) = jax.lax.scan(
             step_fn, g.x_dynamic, jnp.arange(rollout_steps))
-        return sums, counts, cons  # [T,2], [T], [T]
+        return sums, counts, cons  # [T,2], [T], [T] or [T,B]
 
-    sums, counts, cons = jax.vmap(per_graph)(batch)   # [B,T,2], [B,T], [B,T]
-    err = loss_lib.finalize_error(sums.sum(0), counts.sum(0)[:, None], opts.type_loss)  # [T,2]
+    if batch.x_static.ndim == 2:
+        # concat-batched union graph: one scan, aggregation across graphs is
+        # inherent in the node concatenation (reference concat-then-mean)
+        sums, counts, cons = per_graph(batch)         # [T,2], [T], [T(,B)]
+        err = loss_lib.finalize_error(sums, counts[:, None], opts.type_loss)
+        cons_mean = cons.mean(-1) if cons.ndim > 1 else cons
+    else:
+        sums, counts, cons = jax.vmap(per_graph)(batch)  # [B,T,2], [B,T], [B,T]
+        err = loss_lib.finalize_error(sums.sum(0), counts.sum(0)[:, None],
+                                      opts.type_loss)    # [T,2]
+        cons_mean = cons.mean(0)
     scaler = loss_lib.loss_variable_scaler(opts.velocity_scaler)
     per_step = err @ scaler / scaler.sum()            # [T]
     if opts.conservation != 0.0:
-        per_step = per_step + opts.conservation * jnp.abs(cons.mean(0))
+        per_step = per_step + opts.conservation * jnp.abs(cons_mean)
     return per_step.mean()
 
 
@@ -206,7 +220,25 @@ def eval_step(params, batch: FloodGraph, *, apply_fn, cfg, steps: int,
     """Full-rollout validation metrics (reference training/train.py:157-180).
 
     Metrics are computed on the finest scale only for multiscale graphs.
+    Accepts vmap-stacked batches (leading batch axis) or concat-batched
+    union graphs (2D leaves).
     """
+    if batch.x_static.ndim == 2:
+        preds = rollout(apply_fn, params, cfg, batch, steps)    # [N,2,T]
+        real = batch.y[..., :steps]
+        fs = batch.spec.node_slice(0)
+        if multiscale:
+            preds, real = preds[fs], real[fs]
+            nmask = batch.node_mask[fs]
+        else:
+            nmask = batch.node_mask
+        val_loss = get_rollout_loss(preds, real, nmask, type_loss=opts.type_loss,
+                                    only_where_water=opts.only_where_water).mean()
+        csi005 = get_csi(preds, real, nmask, water_threshold=0.05)
+        csi03 = get_csi(preds, real, nmask, water_threshold=0.3)
+        return {"val_loss": val_loss,
+                "val_CSI_005": jnp.nanmean(csi005),
+                "val_CSI_03": jnp.nanmean(csi03)}
     preds = rollout_batch(apply_fn, params, cfg, batch, steps)  # [B,N,2,T]
     real = batch.y[..., :steps]
     if multiscale:
@@ -238,7 +270,8 @@ class Trainer:
                  multiscale: bool = True, log_fn: Optional[Callable] = None,
                  checkpoint_dir: Optional[str] = None,
                  checkpoint_every: int = 25,
-                 curriculum_mode: str = "epoch"):
+                 curriculum_mode: str = "epoch",
+                 batch_layout: str = "concat"):
         self.apply_fn = apply_fn
         self.cfg = cfg
         # own a private copy: train_step donates its params buffers, and the
@@ -262,6 +295,8 @@ class Trainer:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.curriculum = CurriculumController(opts, mode=curriculum_mode)
+        assert batch_layout in ("concat", "vmap"), batch_layout
+        self.batch_layout = batch_layout
 
     def save(self, path: str, epoch: int) -> None:
         """Periodic checkpoint for crash recovery (params + opt state)."""
@@ -285,16 +320,17 @@ class Trainer:
         return self.start_epoch
 
     def _batches(self, graphs, batch_size, shuffle):
+        build = concat_graphs if self.batch_layout == "concat" else stack_graphs
         idx = np.arange(len(graphs))
         if shuffle:
             self.rng.shuffle(idx)
         for i in range(0, len(idx) - batch_size + 1, batch_size):
-            yield stack_graphs([graphs[j] for j in idx[i:i + batch_size]])
+            yield build([graphs[j] for j in idx[i:i + batch_size]])
         rem = len(idx) % batch_size
         if rem and len(idx) >= batch_size:
             pass  # drop ragged tail: static batch shapes (last partial batch skipped)
         elif rem:
-            yield stack_graphs([graphs[j] for j in idx])
+            yield build([graphs[j] for j in idx])
 
     def fit(self, max_epochs: Optional[int] = None, val_every: int = 1):
         opts = self.opts
