@@ -53,6 +53,8 @@ class TrainerOptions:
     step_size: int = 20
     grad_clip: float = 1.0
     seed: int = 42
+    remat: bool = False   # rematerialize the forward in the rollout scan
+                          # (trade FLOPs for activation memory on big meshes)
 
 
 def make_optimizer(opts: TrainerOptions, steps_per_epoch: int):
@@ -160,11 +162,14 @@ def pushforward_loss(
     concat-batched union graph (2D leaves, ``num_graphs`` >= 1) — the latter
     is the TPU-preferred layout."""
 
+    fwd = (jax.checkpoint(lambda p, gt: apply_fn(p, cfg, gt))
+           if opts.remat else (lambda p, gt: apply_fn(p, cfg, gt)))
+
     def per_graph(g: FloodGraph):
         def step_fn(x_dyn, t):
             x_dyn = inject_bc(x_dyn, g, bc_window(g, t))
             gt = g.replace(x_dynamic=x_dyn)
-            pred = apply_fn(params, cfg, gt)
+            pred = fwd(params, gt)
             target = jax.lax.dynamic_index_in_dim(g.y, t, axis=-1, keepdims=False)
             sums, count, cons = loss_lib.step_loss_sums(
                 pred, target, gt,
