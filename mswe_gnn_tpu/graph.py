@@ -319,6 +319,9 @@ def build_flood_graph(
         bcv = np.zeros((nbc, 1), dtype=dtype)
         bel = np.ones(nbc, dtype=dtype)
 
+    # table widths rounded to 4: exact (odd) widths such as D=5 trigger
+    # pathological XLA layout/compile times on TPU (>20 min vs ~3 min), and
+    # the padded-slot traffic they save is smaller than that loss
     in_tab, in_msk = build_edge_slot_table(ei, emask, N, round_to=4,
                                            d_fixed=spec.in_degree)
     pool_tab, pool_msk = build_edge_slot_table(
