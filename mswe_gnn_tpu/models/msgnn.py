@@ -26,7 +26,12 @@ from mswe_gnn_tpu.graph import FloodGraph, GraphSpec
 from mswe_gnn_tpu.models import base as base_model
 from mswe_gnn_tpu.models.activations import apply_activation, init_activation
 from mswe_gnn_tpu.models.mlp import apply_mlp, init_mlp
-from mswe_gnn_tpu.models.swegnn import SWEGNNConfig, apply_swegnn, init_swegnn
+from mswe_gnn_tpu.models.mlp import apply_linear
+from mswe_gnn_tpu.models.swegnn import (
+    SWEGNNConfig,
+    apply_swegnn_block,
+    init_swegnn,
+)
 from mswe_gnn_tpu.ops.segment import segment_mean
 
 
@@ -154,38 +159,44 @@ def init_msgnn(key, cfg: MSGNNConfig) -> dict:
     return params
 
 
-def _pool(params, cfg: MSGNNConfig, x, intra_src_fine, intra_dst_coarse,
-          intra_mask, coarse_range, pool_table=None, pool_mask=None):
-    """Mean-pool fine features onto coarse nodes over transfer edges
-    (reference models/gnn.py:242-257). Output replaces x entirely: nodes that
-    receive nothing become zero.
+def _pool_block(params, cfg: MSGNNConfig, x_fine, coarse_feats, fine_local,
+                coarse_local, intra_mask, n_coarse,
+                pool_table=None, pool_mask=None):
+    """Mean-pool fine-block features onto the coarse block over transfer edges
+    (reference models/gnn.py:242-257). Nodes that receive nothing become zero.
 
-    When ``pool_table``/``pool_mask`` [n_coarse, D] are given (ids local to
-    the transfer-edge block), the mean uses the gather-based ELL path."""
-    n = x.shape[0]
-    lo, hi = coarse_range
+    ``coarse_feats`` is only used for learned pooling: the coarse rows as the
+    reference's pooling MLP sees them (post-processor, i.e. H_0-transformed).
+    ``pool_table``/``pool_mask`` [n_coarse, D] (ids local to the transfer-edge
+    block) select the gather-based ELL path."""
     if cfg.learned_pooling:
         e = jnp.concatenate(
-            [jnp.take(x, intra_src_fine, axis=0), jnp.take(x, intra_dst_coarse, axis=0)], -1)
-        e = apply_mlp(params["pooling_mlp"], e, activation=cfg.mlp_activation)
-        src_vals = e
+            [jnp.take(x_fine, fine_local, axis=0),
+             jnp.take(coarse_feats, coarse_local, axis=0)], -1)
+        src_vals = apply_mlp(params["pooling_mlp"], e, activation=cfg.mlp_activation)
     else:
-        src_vals = jnp.take(x, intra_src_fine, axis=0)
+        src_vals = jnp.take(x_fine, fine_local, axis=0)
     if pool_table is not None:
         gathered = jnp.take(src_vals, pool_table, axis=0)        # [Nc, D, F]
         sums = (gathered * pool_mask[..., None]).sum(axis=1)
         cnt = pool_mask.sum(axis=1)
-        pooled = jnp.where(cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
-    else:
-        pooled = segment_mean(src_vals, intra_dst_coarse - lo, num_segments=hi - lo,
-                              weights=intra_mask)
-    return jnp.zeros_like(x).at[lo:hi].set(pooled)
+        return jnp.where(cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
+    return segment_mean(src_vals, coarse_local, num_segments=n_coarse,
+                        weights=intra_mask)
 
 
 def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
     """Multiscale forward pass on one (unbatched) graph -> [N, 2] predictions.
 
-    Mirrors reference models/gnn.py:267-350 with static per-scale slices.
+    Mirrors reference models/gnn.py:267-350 but carries the V-cycle state as
+    *per-scale blocks*: each processor, pooling and un-pooling call touches
+    only its scale's [N_scale, F] arrays — no full-graph dynamic-update-slice
+    copies per hop. Equivalence with the reference's full-array semantics:
+    the reference zeroes every non-coarse row at each pooling step
+    (models/gnn.py:242-257 output "replaces x entirely"), the filter H_0 is
+    bias-free (zero rows stay zero), and rows of already-visited scales are
+    never read again — so transforming them is dead computation the block
+    form simply omits (verified by the golden checkpoint tests).
     """
     spec: GraphSpec = graph.spec
     L = cfg.num_scales
@@ -209,17 +220,23 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
     x_s = apply_mlp(params["static_node_encoder"], x_s, activation=cfg.mlp_activation)
     x_d = apply_mlp(params["dynamic_node_encoder"], x_d, activation=cfg.mlp_activation)
 
-    x_down = jnp.zeros_like(x_d)
-    x_up = jnp.zeros_like(x_d)
     ks = cfg.k_schedule
-
     has_tables = graph.in_edge_table is not None
     edge_ptr = spec.edge_ptr
     intra_ptr = spec.intra_edge_ptr
 
+    # per-scale blocks — the V-cycle carry
+    xs_b = [x_s[spec.node_slice(i)] for i in range(L)]
+    xd_b = [x_d[spec.node_slice(i)] for i in range(L)]
+    zeros_b = [jnp.zeros_like(b) for b in xd_b]
+    x_down_b = [None] * L
+    x_up_b = [None] * L
+
     def scale_edges(i):
+        """Edge endpoints local to scale i's node block."""
         sl = spec.edge_slice(i)
-        return (graph.edge_index[0, sl], graph.edge_index[1, sl],
+        return (graph.edge_index[0, sl] - node_ptr[i],
+                graph.edge_index[1, sl] - node_ptr[i],
                 edge_attr[sl], graph.edge_mask[sl])
 
     def scale_agg(i):
@@ -231,50 +248,64 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
         return tab, graph.in_edge_mask[nsl]
 
     def intra_edges(lvl):
+        """(coarse, fine) transfer endpoints, local to their scale blocks
+        (rows = (coarse, fine) as in the reference, models/gnn.py:310)."""
         sl = spec.intra_edge_slice(lvl)
-        # rows = (coarse, fine) as in the reference (models/gnn.py:310)
-        return (graph.intra_edge_index[0, sl], graph.intra_edge_index[1, sl],
+        return (graph.intra_edge_index[0, sl] - node_ptr[lvl + 1],
+                graph.intra_edge_index[1, sl] - node_ptr[lvl],
                 graph.intra_edge_mask[sl])
 
     # --- downsweep: fine -> coarse, skipping the coarsest scale
     for i in range(L - 1):
         src, dst, ea, em = scale_edges(i)
-        rng = (node_ptr[i], node_ptr[i + 1])
         tab, tmask = scale_agg(i)
-        x_d = apply_swegnn(params["gnn_processor"][i], cfg.processor_cfg(ks[i]),
-                           x_s, x_d, src, dst, edge_attr=ea, edge_mask=em,
-                           src_range=rng, dst_range=rng,
-                           agg_table=tab, agg_mask=tmask)
-        # save scale-i rows before pooling overwrites them
-        sl = spec.node_slice(i)
-        x_down = x_down.at[sl].add(x_d[sl])
+        pcfg = cfg.processor_cfg(ks[i])
+        proc = params["gnn_processor"][i]
+        xd_b[i] = apply_swegnn_block(proc, pcfg,
+                                     xs_b[i], xd_b[i], xs_b[i], xd_b[i],
+                                     src, dst, edge_attr=ea, edge_mask=em,
+                                     same_block=True,
+                                     agg_table=tab, agg_mask=tmask)
+        x_down_b[i] = xd_b[i]
         coarse, fine, imask = intra_edges(i)
+        if cfg.learned_pooling:
+            # the reference's pooling MLP reads the coarse rows *after* the
+            # processor applied H_0 to the full array (models/gnn.py:304)
+            coarse_feats = xd_b[i + 1]
+            if pcfg.with_filter_matrix:
+                coarse_feats = apply_linear(proc["filters"][0], coarse_feats)
+        else:
+            coarse_feats = None
         if has_tables:
             csl = spec.node_slice(i + 1)
             ptab = jnp.maximum(graph.pool_table[csl] - intra_ptr[i], 0)
             pmask = graph.pool_mask[csl]
         else:
             ptab = pmask = None
-        x_d = _pool(params, cfg, x_d, fine, coarse, imask,
-                    coarse_range=(node_ptr[i + 1], node_ptr[i + 2]),
-                    pool_table=ptab, pool_mask=pmask)
+        pooled = _pool_block(params, cfg, xd_b[i], coarse_feats, fine, coarse,
+                             imask, n_coarse=xd_b[i + 1].shape[0],
+                             pool_table=ptab, pool_mask=pmask)
+        # pooling replaces the state: every non-coarse scale becomes zero
+        for j in range(L):
+            xd_b[j] = zeros_b[j]
+        xd_b[i + 1] = pooled
 
-    x_down = x_down + x_d
+    x_down_b[L - 1] = xd_b[L - 1]
 
     # --- upsweep: coarse -> fine
     for i in range(L):
         scale = L - 1 - i
         gnn_id = L - 1 + i
         src, dst, ea, em = scale_edges(scale)
-        rng = (node_ptr[scale], node_ptr[scale + 1])
         tab, tmask = scale_agg(scale)
-        x_d = apply_swegnn(params["gnn_processor"][gnn_id],
-                           cfg.processor_cfg(ks[gnn_id]),
-                           x_s, x_d, src, dst, edge_attr=ea, edge_mask=em,
-                           src_range=rng, dst_range=rng,
-                           agg_table=tab, agg_mask=tmask)
-        sl = spec.node_slice(scale)
-        x_up = x_up.at[sl].add(x_d[sl])
+        xd_b[scale] = apply_swegnn_block(params["gnn_processor"][gnn_id],
+                                         cfg.processor_cfg(ks[gnn_id]),
+                                         xs_b[scale], xd_b[scale],
+                                         xs_b[scale], xd_b[scale],
+                                         src, dst, edge_attr=ea, edge_mask=em,
+                                         same_block=True,
+                                         agg_table=tab, agg_mask=tmask)
+        x_up_b[scale] = xd_b[scale]
 
         if i < L - 1:
             lvl = scale - 1  # transfer level between scales lvl (fine) and scale
@@ -286,18 +317,18 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
             else:
                 utab = umask = None
             # messages flow coarse -> fine (src=coarse, dst=fine)
-            x_d = apply_swegnn(params["intra_scale_gnn"][i], cfg.intra_cfg(),
-                               x_s, x_d, coarse, fine, edge_attr=None,
-                               edge_mask=imask,
-                               src_range=(node_ptr[scale], node_ptr[scale + 1]),
-                               dst_range=(node_ptr[lvl], node_ptr[lvl + 1]),
-                               dst_sorted=False,
-                               agg_table=utab, agg_mask=umask)
+            xd_b[lvl] = apply_swegnn_block(params["intra_scale_gnn"][i],
+                                           cfg.intra_cfg(),
+                                           xs_b[scale], xd_b[scale],
+                                           xs_b[lvl], xd_b[lvl],
+                                           coarse, fine, edge_attr=None,
+                                           edge_mask=imask, same_block=False,
+                                           dst_sorted=False,
+                                           agg_table=utab, agg_mask=umask)
             if cfg.skip_connections:
-                fsl = spec.node_slice(lvl)
-                x_d = x_d.at[fsl].add(x_down[fsl])
+                xd_b[lvl] = xd_b[lvl] + x_down_b[lvl]
 
-    h = x_up
+    h = jnp.concatenate(x_up_b, axis=0)
     if cfg.gnn_activation is not None:
         h = apply_activation(cfg.gnn_activation, params["gnn_act"], h)
 

@@ -25,9 +25,11 @@ TPU-native design choices (all numerics preserved exactly, see tests):
 3. **Masked-dense wet front.** The reference compacts active edges (dynamic
    shapes); here every edge is computed and inactive messages are multiplied
    by 0 — static shapes, identical values.
-4. **Static node ranges.** For multiscale use the caller passes the scale's
-   static node slice so per-hop filter matmuls and updates touch only that
-   scale's rows (zero rows elsewhere are provably unaffected).
+4. **Block-local state.** ``apply_swegnn_block`` operates on the *local*
+   node blocks the edges actually touch (multiscale: one scale per call).
+   The hop loop carries only [N_block, F] arrays — no full-graph
+   dynamic-update-slice copies per hop (the MSGNN V-cycle calls this
+   directly; ``apply_swegnn`` is the whole-graph wrapper).
 """
 from __future__ import annotations
 
@@ -100,23 +102,22 @@ def init_swegnn(key, cfg: SWEGNNConfig) -> dict:
     return params
 
 
-def _edge_flux(
+def _edge_flux_block(
     params: dict,
     cfg: SWEGNNConfig,
-    x_s: jax.Array,
-    x_d: jax.Array,
+    x_s_src: jax.Array,
+    x_d_src: jax.Array,
+    x_s_dst: jax.Array,
+    x_d_dst: jax.Array,
     src: jax.Array,
     dst: jax.Array,
     edge_attr: Optional[jax.Array],
-    src_range: Optional[Tuple[int, int]] = None,
-    dst_range: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
     """Compute s_ij for every edge (hop-invariant part of the layer).
 
     First linear decomposed into per-node src/dst projections; remaining MLP
-    layers run on the [E, H] edge matrix (MXU matmuls). ``src_range`` /
-    ``dst_range`` statically restrict the node projections to the slice the
-    edges actually touch (multiscale: one scale per call).
+    layers run on the [E, H] edge matrix (MXU matmuls). All node arrays are
+    block-local; ``src``/``dst`` index into them directly.
     """
     mlp = params["edge_mlp"]
     lin0 = mlp["layers"][0]
@@ -125,13 +126,11 @@ def _edge_flux(
     W_ss, W_sd = W[:s], W[s: 2 * s]
     W_ds, W_dd = W[2 * s: 2 * s + d], W[2 * s + d: 2 * s + 2 * d]
     cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
-    s_lo, s_hi = (0, x_s.shape[0]) if src_range is None else src_range
-    d_lo, d_hi = (0, x_s.shape[0]) if dst_range is None else dst_range
-    proj_src = (matmul(x_s[s_lo:s_hi], W_ss, cd)
-                + matmul(x_d[s_lo:s_hi], W_ds, cd))            # [Ns, H]
-    proj_dst = (matmul(x_s[d_lo:d_hi], W_sd, cd)
-                + matmul(x_d[d_lo:d_hi], W_dd, cd))            # [Nd, H]
-    h = jnp.take(proj_src, src - s_lo, axis=0) + jnp.take(proj_dst, dst - d_lo, axis=0)
+    proj_src = (matmul(x_s_src, W_ss, cd)
+                + matmul(x_d_src, W_ds, cd))            # [Ns, H]
+    proj_dst = (matmul(x_s_dst, W_sd, cd)
+                + matmul(x_d_dst, W_dd, cd))            # [Nd, H]
+    h = jnp.take(proj_src, src, axis=0) + jnp.take(proj_dst, dst, axis=0)
     if fe > 0:
         h = h + matmul(edge_attr, W[2 * s + 2 * d:], cd)
     if "b" in lin0:
@@ -153,6 +152,139 @@ def _edge_flux(
     return s_ij
 
 
+def apply_swegnn_block(
+    params: dict,
+    cfg: SWEGNNConfig,
+    x_s_src: jax.Array,
+    x_d_src: jax.Array,
+    x_s_dst: jax.Array,
+    x_d_dst: jax.Array,
+    src: jax.Array,
+    dst: jax.Array,
+    edge_attr: Optional[jax.Array] = None,
+    edge_mask: Optional[jax.Array] = None,
+    same_block: bool = True,
+    dst_sorted: bool = True,
+    agg_table: Optional[jax.Array] = None,
+    agg_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """One SWEGNN layer on block-local arrays -> updated dst block [Nd, F].
+
+    ``src``/``dst`` are indices local to the src/dst blocks. When
+    ``same_block`` the src block IS the dst block (the multiscale processor
+    case) and neighbor gathers see the evolving hop state; otherwise the
+    blocks must be disjoint node sets (the un-pooling case) and sources stay
+    constant across hops — exactly the reference semantics, where hop updates
+    only ever touch destination rows (reference models/gnn.py:437-443).
+
+    ``agg_table``/``agg_mask`` [Nd, D] select the ELL aggregation path:
+    per-destination incoming-edge slots (ids local to the edge block passed
+    in), replacing the segment-sum scatter with gathers — the fast path on
+    TPU for bounded-degree meshes.
+    """
+    cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
+    n_dst = x_d_dst.shape[0]
+
+    if cfg.with_filter_matrix:
+        out = apply_linear(params["filters"][0], x_d_dst, compute_dtype=cd)
+        out_src = out if same_block else apply_linear(
+            params["filters"][0], x_d_src, compute_dtype=cd)
+    else:
+        out = x_d_dst
+        out_src = out if same_block else x_d_src
+
+    s_ij = _edge_flux_block(params, cfg, x_s_src, x_d_src, x_s_dst, x_d_dst,
+                            src, dst, edge_attr)
+    if edge_mask is not None:
+        s_ij = s_ij * edge_mask[:, None]
+
+    if agg_table is not None:
+        # Node-major hop loop (the TPU fast path): pre-gather the
+        # hop-invariant flux into per-slot [Nd, F] tables ONCE per layer;
+        # each hop is then D row-gathers of `out` fused with elementwise
+        # work and one small matmul — no [Nd, D, F] HBM intermediates, no
+        # per-edge tensors, no scatter. (Measured 2.2x faster than the
+        # [Nd, D, F] take_along formulation on v5e at dk15 scale: XLA keeps
+        # every per-slot value in a single fused elementwise pass.)
+        d_max = agg_table.shape[1]
+        s_slots = [jnp.take(s_ij, agg_table[:, d], axis=0) * agg_mask[:, d:d + 1]
+                   for d in range(d_max)]                            # D x [Nd,F]
+        src_slots = [jnp.take(src, agg_table[:, d]) for d in range(d_max)]
+        if cfg.use_pallas and same_block:
+            from mswe_gnn_tpu.ops.pallas_hop import fused_hop, supported
+
+            if supported(n_dst, out.shape[1], out.dtype):
+                s_tab = jnp.stack(s_slots, axis=1)                   # [Nd,D,F]
+                src_tab = jnp.stack(src_slots, axis=1)               # [Nd,D]
+                for k in range(cfg.K):
+                    agg = fused_hop(out, src_tab, s_tab, 0,
+                                    with_gradient=cfg.with_gradient,
+                                    upwind=cfg.upwind_mode)
+                    if cfg.with_filter_matrix:
+                        agg = apply_linear(params["filters"][k + 1], agg,
+                                           compute_dtype=cd)
+                    out = out + agg
+                return out
+        if cd is not None:
+            # halve hop-loop HBM traffic: flux table and the hop state live
+            # in bf16; the filter matmul accumulates back to f32
+            s_slots = [s.astype(cd) for s in s_slots]
+            out = out.astype(cd)
+            if not same_block:
+                out_src = out_src.astype(cd)
+        for k in range(cfg.K):
+            src_ref = out if same_block else out_src
+            # wet-front mask from data already on hand: src activity is
+            # (nb row-sum != 0) — no scalar gather (which is very slow on TPU)
+            dst_act = (out.sum(axis=1, keepdims=True) != 0).astype(out.dtype)
+            agg = jnp.zeros_like(out)
+            for d in range(d_max):
+                nb = jnp.take(src_ref, src_slots[d], axis=0)         # [Nd,F]
+                act = jnp.maximum(
+                    (nb.sum(axis=-1, keepdims=True) != 0).astype(out.dtype),
+                    dst_act)
+                if cfg.with_gradient:
+                    # hydraulic gradient: out[dst] - out[src] (reference gnn.py:430)
+                    diff = out - nb
+                    if cfg.upwind_mode:
+                        diff = jnp.maximum(diff, 0.0)
+                    agg = agg + diff * s_slots[d] * act
+                else:
+                    agg = agg + s_slots[d] * nb * act
+            if cfg.with_filter_matrix:
+                agg = apply_linear(params["filters"][k + 1], agg, compute_dtype=cd)
+            if cd is not None:
+                agg = agg.astype(cd)
+            out = out + agg
+        return out.astype(x_d_dst.dtype) if cd is not None else out
+
+    for k in range(cfg.K):
+        # wet-front mask: edges with at least one "active" endpoint
+        src_ref = out if same_block else out_src
+        dst_active = (out.sum(axis=1) != 0).astype(out.dtype)
+        if same_block:
+            src_active = dst_active
+        else:
+            src_active = (src_ref.sum(axis=1) != 0).astype(out.dtype)
+        e_active = jnp.maximum(jnp.take(src_active, src), jnp.take(dst_active, dst))
+
+        if cfg.with_gradient:
+            grad = jnp.take(out, dst, axis=0) - jnp.take(src_ref, src, axis=0)
+            if cfg.upwind_mode:
+                grad = jnp.maximum(grad, 0.0)
+            msg = grad * s_ij
+        else:
+            msg = s_ij * jnp.take(src_ref, src, axis=0)
+
+        msg = msg * e_active[:, None]
+        agg = segment_sum(msg, dst, num_segments=n_dst,
+                          indices_are_sorted=dst_sorted)
+        if cfg.with_filter_matrix:
+            agg = apply_linear(params["filters"][k + 1], agg, compute_dtype=cd)
+        out = out + agg
+    return out
+
+
 def apply_swegnn(
     params: dict,
     cfg: SWEGNNConfig,
@@ -168,112 +300,37 @@ def apply_swegnn(
     agg_table: Optional[jax.Array] = None,
     agg_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """One SWEGNN layer: K hops of learned-flux message passing.
+    """Whole-graph SWEGNN layer: K hops of learned-flux message passing.
 
     ``src_range``/``dst_range`` are static node slices containing every edge
-    source / destination (multiscale: the scale being processed; un-pooling:
-    coarse sources, fine destinations). Per-hop aggregation, filter matmuls
-    and updates are restricted to ``dst_range``. The initial filter H_0 is
-    always applied to ALL nodes, matching the reference where each scale's
-    processor transforms the full node array (reference models/gnn.py:401-404
-    called from :304).
-
-    ``agg_table``/``agg_mask`` [hi-lo, D] select the ELL aggregation path:
-    per-destination incoming-edge slots (ids local to the edge block passed
-    in), replacing the segment-sum scatter with gathers — the fast path on
-    TPU for bounded-degree meshes.
+    source / destination; they must be identical or disjoint. The hop loop
+    runs block-locally (``apply_swegnn_block``); rows outside ``dst_range``
+    of the returned array are H_0-transformed but otherwise untouched,
+    matching the reference where each scale's processor applies its filter
+    to the full node array (reference models/gnn.py:401-404 called from :304).
     """
     num_nodes = x_d.shape[0]
     lo, hi = (0, num_nodes) if dst_range is None else dst_range
-    cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
+    slo, shi = (0, num_nodes) if src_range is None else src_range
+    same = (slo, shi) == (lo, hi)
+    assert same or shi <= lo or hi <= slo, \
+        "src_range and dst_range must be identical or disjoint"
 
+    block = apply_swegnn_block(
+        params, cfg,
+        x_s[slo:shi], x_d[slo:shi], x_s[lo:hi], x_d[lo:hi],
+        src if slo == 0 else src - slo,
+        dst if lo == 0 else dst - lo,
+        edge_attr=edge_attr, edge_mask=edge_mask, same_block=same,
+        dst_sorted=dst_sorted, agg_table=agg_table, agg_mask=agg_mask)
+
+    if dst_range is None:
+        return block
+
+    cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
     if cfg.with_filter_matrix:
         out = apply_linear(params["filters"][0], x_d, compute_dtype=cd)
     else:
         out = x_d
-
-    s_ij = _edge_flux(params, cfg, x_s, x_d, src, dst, edge_attr,
-                      src_range=src_range, dst_range=dst_range)
-    if edge_mask is not None:
-        s_ij = s_ij * edge_mask[:, None]
-
-    if agg_table is not None:
-        # Node-major hop loop (the TPU fast path): pre-gather the
-        # hop-invariant flux and the neighbor ids into ELL layout ONCE per
-        # layer; each hop is then a single data-dependent gather of `out`
-        # plus elementwise work and one small matmul — no per-edge
-        # intermediates, no scatter.
-        s_tab = jnp.take(s_ij, agg_table, axis=0) * agg_mask[..., None]  # [Nd,D,F]
-        src_tab = jnp.take(src, agg_table)                               # [Nd,D]
-        if cfg.use_pallas:
-            from mswe_gnn_tpu.ops.pallas_hop import fused_hop, supported
-
-            if supported(num_nodes, out.shape[1], out.dtype):
-                for k in range(cfg.K):
-                    agg = fused_hop(out, src_tab, s_tab, lo,
-                                    with_gradient=cfg.with_gradient,
-                                    upwind=cfg.upwind_mode)
-                    if cfg.with_filter_matrix:
-                        agg = apply_linear(params["filters"][k + 1], agg,
-                                           compute_dtype=cd)
-                    if dst_range is None:
-                        out = out + agg
-                    else:
-                        out = out.at[lo:hi].add(agg)
-                return out
-        if cd is not None:
-            # halve hop-loop HBM traffic: flux table and the hop state live
-            # in bf16; the filter matmul accumulates back to f32
-            s_tab = s_tab.astype(cd)
-            out = out.astype(cd)
-        for k in range(cfg.K):
-            out_dst = out[lo:hi]
-            nb = jnp.take(out, src_tab, axis=0)                          # [Nd,D,F]
-            # wet-front mask from data already on hand: src activity is
-            # (nb row-sum != 0) — no scalar gather (which is very slow on TPU)
-            act = jnp.maximum((nb.sum(axis=-1) != 0).astype(out.dtype),
-                              (out_dst.sum(axis=1) != 0).astype(out.dtype)[:, None])
-            if cfg.with_gradient:
-                # hydraulic gradient: out[dst] - out[src] (reference gnn.py:430)
-                diff = out_dst[:, None, :] - nb
-                if cfg.upwind_mode:
-                    diff = jnp.maximum(diff, 0.0)
-                msg = diff * s_tab
-            else:
-                msg = s_tab * nb
-            agg = (msg * act[..., None]).sum(axis=1)
-            if cfg.with_filter_matrix:
-                agg = apply_linear(params["filters"][k + 1], agg, compute_dtype=cd)
-            if cd is not None:
-                agg = agg.astype(cd)
-            if dst_range is None:
-                out = out + agg
-            else:
-                out = out.at[lo:hi].add(agg)
-        return out.astype(x_d.dtype) if cd is not None else out
-
-    for k in range(cfg.K):
-        # wet-front mask: edges with at least one "active" endpoint
-        node_active = (out.sum(axis=1) != 0).astype(out.dtype)
-        e_active = jnp.maximum(jnp.take(node_active, src), jnp.take(node_active, dst))
-
-        if cfg.with_gradient:
-            grad = jnp.take(out, dst, axis=0) - jnp.take(out, src, axis=0)
-            if cfg.upwind_mode:
-                grad = jnp.maximum(grad, 0.0)
-            msg = grad * s_ij
-        else:
-            msg = s_ij * jnp.take(out, src, axis=0)
-
-        msg = msg * e_active[:, None]
-        agg = segment_sum(
-            msg, dst - lo if lo else dst, num_segments=hi - lo,
-            indices_are_sorted=dst_sorted,
-        )
-        if cfg.with_filter_matrix:
-            agg = apply_linear(params["filters"][k + 1], agg, compute_dtype=cd)
-        if dst_range is None:
-            out = out + agg
-        else:
-            out = out.at[lo:hi].add(agg)
-    return out
+    out = out.astype(block.dtype)
+    return out.at[lo:hi].set(block)
