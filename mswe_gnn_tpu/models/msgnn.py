@@ -177,8 +177,11 @@ def _pool_block(params, cfg: MSGNNConfig, x_fine, coarse_feats, fine_local,
     else:
         src_vals = jnp.take(x_fine, fine_local, axis=0)
     if pool_table is not None:
-        gathered = jnp.take(src_vals, pool_table, axis=0)        # [Nc, D, F]
-        sums = (gathered * pool_mask[..., None]).sum(axis=1)
+        # per-slot gathers keep everything [Nc, F] (no [Nc, D, F] intermediate)
+        sums = jnp.zeros((pool_table.shape[0], src_vals.shape[1]), src_vals.dtype)
+        for d in range(pool_table.shape[1]):
+            sums = sums + (jnp.take(src_vals, pool_table[:, d], axis=0)
+                           * pool_mask[:, d:d + 1])
         cnt = pool_mask.sum(axis=1)
         return jnp.where(cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
     return segment_mean(src_vals, coarse_local, num_segments=n_coarse,
@@ -239,13 +242,22 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
                 graph.edge_index[1, sl] - node_ptr[i],
                 edge_attr[sl], graph.edge_mask[sl])
 
+    _agg_cache = {}
+
     def scale_agg(i):
-        """ELL table rows for scale i, edge ids rebased to the scale block."""
+        """ELL table rows for scale i (edge ids rebased to the scale block)
+        plus the slot-gathered encoded edge attrs — computed once per scale
+        per forward and shared by the scale's two processor layers."""
         if not has_tables:
-            return None, None
-        nsl = spec.node_slice(i)
-        tab = jnp.maximum(graph.in_edge_table[nsl] - edge_ptr[i], 0)
-        return tab, graph.in_edge_mask[nsl]
+            return None, None, None
+        if i not in _agg_cache:
+            nsl = spec.node_slice(i)
+            tab = jnp.maximum(graph.in_edge_table[nsl] - edge_ptr[i], 0)
+            ea = edge_attr[spec.edge_slice(i)]
+            ea_slots = [jnp.take(ea, tab[:, d], axis=0)
+                        for d in range(tab.shape[1])]
+            _agg_cache[i] = (tab, graph.in_edge_mask[nsl], ea_slots)
+        return _agg_cache[i]
 
     def intra_edges(lvl):
         """(coarse, fine) transfer endpoints, local to their scale blocks
@@ -258,14 +270,15 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
     # --- downsweep: fine -> coarse, skipping the coarsest scale
     for i in range(L - 1):
         src, dst, ea, em = scale_edges(i)
-        tab, tmask = scale_agg(i)
+        tab, tmask, easl = scale_agg(i)
         pcfg = cfg.processor_cfg(ks[i])
         proc = params["gnn_processor"][i]
         xd_b[i] = apply_swegnn_block(proc, pcfg,
                                      xs_b[i], xd_b[i], xs_b[i], xd_b[i],
                                      src, dst, edge_attr=ea, edge_mask=em,
                                      same_block=True,
-                                     agg_table=tab, agg_mask=tmask)
+                                     agg_table=tab, agg_mask=tmask,
+                                     ea_slots=easl)
         x_down_b[i] = xd_b[i]
         coarse, fine, imask = intra_edges(i)
         if cfg.learned_pooling:
@@ -297,14 +310,15 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
         scale = L - 1 - i
         gnn_id = L - 1 + i
         src, dst, ea, em = scale_edges(scale)
-        tab, tmask = scale_agg(scale)
+        tab, tmask, easl = scale_agg(scale)
         xd_b[scale] = apply_swegnn_block(params["gnn_processor"][gnn_id],
                                          cfg.processor_cfg(ks[gnn_id]),
                                          xs_b[scale], xd_b[scale],
                                          xs_b[scale], xd_b[scale],
                                          src, dst, edge_attr=ea, edge_mask=em,
                                          same_block=True,
-                                         agg_table=tab, agg_mask=tmask)
+                                         agg_table=tab, agg_mask=tmask,
+                                         ea_slots=easl)
         x_up_b[scale] = xd_b[scale]
 
         if i < L - 1:

@@ -152,6 +152,61 @@ def _edge_flux_block(
     return s_ij
 
 
+def _edge_flux_slots(
+    params: dict,
+    cfg: SWEGNNConfig,
+    x_s_src: jax.Array,
+    x_d_src: jax.Array,
+    x_s_dst: jax.Array,
+    x_d_dst: jax.Array,
+    src_slots,
+    ea_slots,
+    slot_mask: jax.Array,
+):
+    """Compute the flux directly in ELL slot layout -> D x [Nd, F] slots.
+
+    Slot d of dst node i is the edge (src_slots[d][i] -> i), so the dst-side
+    projection needs NO gather at all (it's this node's own row) and the flux
+    never exists edge-major — vs the edge-major path this removes two
+    [E, H]-sized gathers per layer (dst projection + flux-to-slot regather).
+    Masked slots are zeroed via ``slot_mask`` (their table entries alias edge
+    0, a real edge, so the computed garbage is finite and then killed).
+    """
+    from mswe_gnn_tpu.models.activations import apply_activation
+
+    mlp = params["edge_mlp"]
+    lin0 = mlp["layers"][0]
+    W = lin0["w"]
+    s, d, fe = cfg.static_node_features, cfg.dynamic_node_features, cfg.edge_features
+    W_ss, W_sd = W[:s], W[s: 2 * s]
+    W_ds, W_dd = W[2 * s: 2 * s + d], W[2 * s + d: 2 * s + 2 * d]
+    W_e = W[2 * s + 2 * d:]
+    cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
+    proj_src = (matmul(x_s_src, W_ss, cd)
+                + matmul(x_d_src, W_ds, cd))            # [Ns, H]
+    proj_dst = (matmul(x_s_dst, W_sd, cd)
+                + matmul(x_d_dst, W_dd, cd))            # [Nd, H]
+    rest = {
+        "layers": mlp["layers"][1:],
+        "acts": mlp["acts"][1:],
+        "norms": mlp["norms"][1:],
+    }
+    slots = []
+    for k in range(len(src_slots)):
+        h = jnp.take(proj_src, src_slots[k], axis=0) + proj_dst
+        if fe > 0:
+            h = h + matmul(ea_slots[k], W_e, cd)
+        if "b" in lin0:
+            h = h + lin0["b"]
+        h = apply_activation(cfg.mlp_activation, mlp["acts"][0], h)
+        s_k = apply_mlp(rest, h, activation=cfg.mlp_activation, compute_dtype=cd)
+        if cfg.normalize:
+            norm = jnp.linalg.norm(s_k, axis=-1, keepdims=True)
+            s_k = jnp.where(norm > 0, s_k / jnp.where(norm > 0, norm, 1.0), 0.0)
+        slots.append(s_k * slot_mask[:, k:k + 1])
+    return slots
+
+
 def apply_swegnn_block(
     params: dict,
     cfg: SWEGNNConfig,
@@ -167,6 +222,7 @@ def apply_swegnn_block(
     dst_sorted: bool = True,
     agg_table: Optional[jax.Array] = None,
     agg_mask: Optional[jax.Array] = None,
+    ea_slots=None,
 ) -> jax.Array:
     """One SWEGNN layer on block-local arrays -> updated dst block [Nd, F].
 
@@ -193,23 +249,22 @@ def apply_swegnn_block(
         out = x_d_dst
         out_src = out if same_block else x_d_src
 
-    s_ij = _edge_flux_block(params, cfg, x_s_src, x_d_src, x_s_dst, x_d_dst,
-                            src, dst, edge_attr)
-    if edge_mask is not None:
-        s_ij = s_ij * edge_mask[:, None]
-
     if agg_table is not None:
-        # Node-major hop loop (the TPU fast path): pre-gather the
-        # hop-invariant flux into per-slot [Nd, F] tables ONCE per layer;
-        # each hop is then D row-gathers of `out` fused with elementwise
-        # work and one small matmul — no [Nd, D, F] HBM intermediates, no
-        # per-edge tensors, no scatter. (Measured 2.2x faster than the
-        # [Nd, D, F] take_along formulation on v5e at dk15 scale: XLA keeps
-        # every per-slot value in a single fused elementwise pass.)
+        # Node-major fast path: the flux is computed directly in ELL slot
+        # layout (see _edge_flux_slots) and each hop is D row-gathers of
+        # `out` fused into a single [Nd, F] elementwise pass plus one small
+        # matmul — no [Nd, D, F] or [E, H] HBM intermediates, no scatter.
+        # (Measured 2.2x faster than the [Nd, D, F] take_along hop and
+        # another ~15% from the slot-major flux on v5e at dk15 scale.)
         d_max = agg_table.shape[1]
-        s_slots = [jnp.take(s_ij, agg_table[:, d], axis=0) * agg_mask[:, d:d + 1]
-                   for d in range(d_max)]                            # D x [Nd,F]
+        fe = cfg.edge_features
         src_slots = [jnp.take(src, agg_table[:, d]) for d in range(d_max)]
+        if ea_slots is None and fe > 0:
+            ea_slots = [jnp.take(edge_attr, agg_table[:, d], axis=0)
+                        for d in range(d_max)]
+        s_slots = _edge_flux_slots(params, cfg, x_s_src, x_d_src,
+                                   x_s_dst, x_d_dst, src_slots, ea_slots,
+                                   agg_mask)
         if cfg.use_pallas and same_block:
             from mswe_gnn_tpu.ops.pallas_hop import fused_hop, supported
 
@@ -257,6 +312,12 @@ def apply_swegnn_block(
                 agg = agg.astype(cd)
             out = out + agg
         return out.astype(x_d_dst.dtype) if cd is not None else out
+
+    # edge-major (segment-sum) path: flux per edge, scatter into dst
+    s_ij = _edge_flux_block(params, cfg, x_s_src, x_d_src, x_s_dst, x_d_dst,
+                            src, dst, edge_attr)
+    if edge_mask is not None:
+        s_ij = s_ij * edge_mask[:, None]
 
     for k in range(cfg.K):
         # wet-front mask: edges with at least one "active" endpoint
