@@ -40,7 +40,8 @@ AXIS = "graph"
 
 
 def build_dist_slot_plan(src_slots: np.ndarray, slot_mask: np.ndarray,
-                         num_nodes: int, n_parts: int) -> Optional[dict]:
+                         num_nodes: int, n_parts: int,
+                         num_src_nodes: Optional[int] = None) -> Optional[dict]:
     """Host-side ring-halo plan for a node-partitioned ELL slot table.
 
     ``src_slots [N, D]`` holds, for each dst node, the (node-id) sources of
@@ -59,11 +60,14 @@ def build_dist_slot_plan(src_slots: np.ndarray, slot_mask: np.ndarray,
       halo H, block B
     """
     assert num_nodes % n_parts == 0, "pad node count to a multiple of n_parts"
-    block = num_nodes // n_parts
+    num_src_nodes = num_nodes if num_src_nodes is None else num_src_nodes
+    assert num_src_nodes % n_parts == 0
+    dst_block = num_nodes // n_parts
+    block = num_src_nodes // n_parts   # src-side (buffer) block size
     src = np.asarray(src_slots)
     msk = np.asarray(slot_mask) > 0
     rows = np.arange(num_nodes)
-    owner_dst = rows // block
+    owner_dst = rows // dst_block
     d_max = src.shape[1]
 
     # ring assumption: every real remote source is owned by p-1 or p+1
@@ -98,8 +102,8 @@ def build_dist_slot_plan(src_slots: np.ndarray, slot_mask: np.ndarray,
     sn, sp = pad(send_next), pad(send_prev)
 
     # remap slot sources into each part's [local | from_prev | from_next] buffer
-    src_tab = np.zeros((n_parts, block, d_max), np.int32)
-    out_mask = np.zeros((n_parts, block, d_max), np.float32)
+    src_tab = np.zeros((n_parts, dst_block, d_max), np.int32)
+    out_mask = np.zeros((n_parts, dst_block, d_max), np.float32)
     for p in range(n_parts):
         nxt, prv = (p + 1) % n_parts, (p - 1) % n_parts
         lut = {}
@@ -107,8 +111,8 @@ def build_dist_slot_plan(src_slots: np.ndarray, slot_mask: np.ndarray,
             lut[prv * block + int(row)] = block + slot
         for slot, row in enumerate(send_prev[nxt]):
             lut[nxt * block + int(row)] = block + h + slot
-        for i in range(block):
-            gi = p * block + i
+        for i in range(dst_block):
+            gi = p * dst_block + i
             for d in range(d_max):
                 if not msk[gi, d]:
                     continue
@@ -117,7 +121,8 @@ def build_dist_slot_plan(src_slots: np.ndarray, slot_mask: np.ndarray,
                 out_mask[p, i, d] = 1.0
     return {"src_tab": src_tab, "slot_mask": out_mask,
             "send_next": sn, "send_prev": sp,
-            "halo": h, "block": block, "n_parts": n_parts}
+            "halo": h, "block": block, "dst_block": dst_block,
+            "n_parts": n_parts}
 
 
 def _halo_concat(x_block: jax.Array, send_next: jax.Array,
@@ -133,25 +138,37 @@ def _halo_concat(x_block: jax.Array, send_next: jax.Array,
 
 
 def _dist_layer_local(params, cfg: SWEGNNConfig, x_s, x_d, src_tab, smask,
-                      ea_slots, send_next, send_prev, axis_size: int):
+                      ea_slots, send_next, send_prev, axis_size: int,
+                      x_s_src=None, x_d_src=None):
     """Per-device body: identical math to the single-device slot path
     (models/swegnn.py apply_swegnn_block), with halo buffers in place of the
-    whole-graph arrays."""
+    whole-graph arrays.
+
+    When ``x_s_src``/``x_d_src`` are given the sources live in a DIFFERENT
+    (disjoint) node block — the multiscale un-pooling case: hop updates touch
+    only dst rows, so the source-side state is constant across hops and its
+    halo buffer is exchanged once."""
     from mswe_gnn_tpu.models.activations import apply_activation
 
+    same_block = x_s_src is None
+    if same_block:
+        x_s_src, x_d_src = x_s, x_d
     cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
     if cfg.with_filter_matrix:
         out = apply_linear(params["filters"][0], x_d, compute_dtype=cd)
+        out_src = out if same_block else apply_linear(
+            params["filters"][0], x_d_src, compute_dtype=cd)
     else:
         out = x_d
+        out_src = out if same_block else x_d_src
 
     # --- slot-major flux with one halo exchange of the src projection
     mlp = params["edge_mlp"]
     lin0 = mlp["layers"][0]
     W = lin0["w"]
     s, d, fe = cfg.static_node_features, cfg.dynamic_node_features, cfg.edge_features
-    proj_src = (matmul(x_s, W[:s], cd)
-                + matmul(x_d, W[2 * s: 2 * s + d], cd))
+    proj_src = (matmul(x_s_src, W[:s], cd)
+                + matmul(x_d_src, W[2 * s: 2 * s + d], cd))
     proj_dst = (matmul(x_s, W[s: 2 * s], cd)
                 + matmul(x_d, W[2 * s + d: 2 * s + 2 * d], cd))
     W_e = W[2 * s + 2 * d:]
@@ -173,9 +190,13 @@ def _dist_layer_local(params, cfg: SWEGNNConfig, x_s, x_d, src_tab, smask,
             s_k = jnp.where(norm > 0, s_k / jnp.where(norm > 0, norm, 1.0), 0.0)
         s_slots.append(s_k * smask[:, k:k + 1])
 
-    # --- K hops, one boundary exchange each
+    # --- K hops, one boundary exchange each (src-side buffer is constant
+    # when the blocks are disjoint: exchange once)
+    buf_const = (None if same_block
+                 else _halo_concat(out_src, send_next, send_prev, axis_size))
     for k in range(cfg.K):
-        buf = _halo_concat(out, send_next, send_prev, axis_size)
+        buf = (_halo_concat(out, send_next, send_prev, axis_size)
+               if same_block else buf_const)
         dst_act = (out.sum(axis=1, keepdims=True) != 0).astype(out.dtype)
         agg = jnp.zeros_like(out)
         for dd in range(d_max):
@@ -285,6 +306,338 @@ def make_dist_gnn_forward(mesh: Mesh, cfg):
         out = jax.nn.relu(out)
         out = base_model.mask_small_wd(out, epsilon=0.0001)
         return out * node_mask[:, None]
+
+    return forward
+
+
+def reorder_graph_for_ring(graph, n_parts: int = 0):
+    """Permute each scale's (real) nodes into BFS order so contiguous
+    partitions are ring-local — ghost cells land next to their BC faces and
+    grid/triangulated meshes become banded. Returns (new_graph, perm) where
+    ``perm[new_global_id] = old_global_id`` (identity on padding rows).
+
+    The spec is unchanged (same counts and ELL widths); edge blocks are
+    re-sorted by destination and all slot tables rebuilt. Useful on its own
+    for single-chip gather locality, required for the ring-halo plans on
+    meshes whose native face order is not banded.
+    """
+    from mswe_gnn_tpu.graph import build_edge_slot_table
+
+    spec = graph.spec
+    L = spec.num_scales
+    node_ptr = np.asarray(spec.node_ptr)
+    edge_ptr = np.asarray(spec.edge_ptr)
+    intra_ptr = np.asarray(spec.intra_edge_ptr)
+    N = spec.num_nodes
+    ei = np.asarray(graph.edge_index)
+    nmask = np.asarray(graph.node_mask)
+
+    # scale 0: BFS over real nodes (padding rows stay in place); coarser
+    # scales: barycentric order — sort by the mean new position of their fine
+    # children so partitions stay spatially aligned across scales (the
+    # cross-scale pool/unpool plans need fine part p's parents on coarse
+    # parts ring-adjacent to p)
+    from collections import deque
+
+    perm = np.arange(N, dtype=np.int64)          # new global id -> old
+    scale_pos = {}                               # scale -> old local -> new local
+    for i in range(L):
+        lo, hi = node_ptr[i], node_ptr[i + 1]
+        real = np.where(nmask[lo:hi] > 0)[0]
+        n_real = len(real)
+        if n_real == 0:
+            scale_pos[i] = np.arange(hi - lo)
+            continue
+        if i == 0:
+            esl = slice(edge_ptr[i], edge_ptr[i + 1])
+            emask = np.asarray(graph.edge_mask)[esl] > 0
+            s = ei[0, esl][emask] - lo
+            d = ei[1, esl][emask] - lo
+            order = []
+            seen = np.zeros(hi - lo, bool)
+            seen[~np.isin(np.arange(hi - lo), real)] = True  # skip padding
+            nbr = {}
+            for a, b in zip(s, d):
+                # symmetric adjacency for ordering: ghost->interior edges
+                # are directed, but the ghost must sit next to its BC face
+                nbr.setdefault(int(a), []).append(int(b))
+                nbr.setdefault(int(b), []).append(int(a))
+            for start in real:
+                if seen[start]:
+                    continue
+                q = deque([int(start)])
+                seen[start] = True
+                while q:
+                    u = q.popleft()
+                    order.append(u)
+                    for v in sorted(nbr.get(u, [])):
+                        if not seen[v]:
+                            seen[v] = True
+                            q.append(v)
+            order = np.asarray(order, np.int64)
+        else:
+            isl = slice(intra_ptr[i - 1], intra_ptr[i])
+            im = np.asarray(graph.intra_edge_mask)[isl] > 0
+            coarse_l = (np.asarray(graph.intra_edge_index)[0, isl][im]
+                        - node_ptr[i])
+            fine_l = (np.asarray(graph.intra_edge_index)[1, isl][im]
+                      - node_ptr[i - 1])
+            fine_new = scale_pos[i - 1][fine_l].astype(np.float64)
+            key = np.full(hi - lo, np.inf)
+            cnt = np.bincount(coarse_l, minlength=hi - lo).astype(np.float64)
+            sums = np.bincount(coarse_l, weights=fine_new, minlength=hi - lo)
+            has = cnt > 0
+            key[has] = sums[has] / cnt[has]
+            order = real[np.argsort(key[real], kind="stable")]
+        perm[lo: lo + n_real] = lo + order
+        pos_local = np.arange(hi - lo)
+        pos_local[order] = np.arange(n_real)
+        scale_pos[i] = pos_local
+
+    pos = np.empty(N, np.int64)                  # old global id -> new
+    pos[perm] = np.arange(N)
+
+    def permute_nodes(arr):
+        return np.asarray(arr)[perm]
+
+    # edges: remap endpoints, re-sort by dst within each scale block
+    E = spec.num_edges
+    ei_new = pos[ei.astype(np.int64)].astype(np.int32)
+    ea_new = np.asarray(graph.edge_attr).copy()
+    em_new = np.asarray(graph.edge_mask).copy()
+    for i in range(L):
+        esl = slice(edge_ptr[i], edge_ptr[i + 1])
+        o = np.argsort(ei_new[1, esl], kind="stable")
+        ei_new[:, esl] = ei_new[:, esl][:, o]
+        ea_new[esl] = ea_new[esl][o]
+        em_new[esl] = em_new[esl][o]
+
+    iei = np.asarray(graph.intra_edge_index)
+    if spec.num_intra_edges > 0:
+        iei_new = pos[iei.astype(np.int64)].astype(np.int32)
+        im_new = np.asarray(graph.intra_edge_mask).copy()
+        for lvl in range(L - 1):
+            isl = slice(intra_ptr[lvl], intra_ptr[lvl + 1])
+            o = np.argsort(iei_new[0, isl], kind="stable")
+            iei_new[:, isl] = iei_new[:, isl][:, o]
+            im_new[isl] = im_new[isl][o]
+    else:
+        iei_new = iei
+        im_new = np.asarray(graph.intra_edge_mask)
+
+    in_tab, in_msk = build_edge_slot_table(ei_new, em_new, N,
+                                           d_fixed=spec.in_degree)
+    pool_tab, pool_msk = build_edge_slot_table(
+        np.stack([iei_new[1], iei_new[0]]), im_new, N,
+        d_fixed=spec.pool_degree)
+    unpool_tab, unpool_msk = build_edge_slot_table(
+        iei_new, im_new, N, d_fixed=spec.unpool_degree)
+
+    new_graph = graph.replace(
+        x_static=jnp.asarray(permute_nodes(graph.x_static)),
+        x_dynamic=jnp.asarray(permute_nodes(graph.x_dynamic)),
+        node_mask=jnp.asarray(permute_nodes(graph.node_mask)),
+        area=jnp.asarray(permute_nodes(graph.area)),
+        dem=jnp.asarray(permute_nodes(graph.dem)),
+        y=jnp.asarray(permute_nodes(graph.y)) if graph.y is not None else None,
+        edge_index=jnp.asarray(ei_new),
+        edge_attr=jnp.asarray(ea_new),
+        edge_mask=jnp.asarray(em_new),
+        intra_edge_index=jnp.asarray(iei_new),
+        intra_edge_mask=jnp.asarray(im_new),
+        bc_nodes=jnp.asarray(pos[np.asarray(graph.bc_nodes, np.int64)]
+                             .astype(np.int32)),
+        in_edge_table=jnp.asarray(in_tab), in_edge_mask=jnp.asarray(in_msk),
+        pool_table=jnp.asarray(pool_tab), pool_mask=jnp.asarray(pool_msk),
+        unpool_table=jnp.asarray(unpool_tab),
+        unpool_mask=jnp.asarray(unpool_msk),
+    )
+    return new_graph, perm
+
+
+def build_dist_msgnn_inputs(graph, n_parts: int) -> Optional[dict]:
+    """Host-side: partition a multiscale ``FloodGraph`` for the distributed
+    MSGNN forward — one ring plan per scale (processors) and per transfer
+    level (pool: fine->coarse, unpool: coarse->fine). All leaves part-major
+    [P, ...]. Returns None when any plan violates ring adjacency (fallback:
+    the GSPMD path) or a scale's padded count is not divisible by P."""
+    spec = graph.spec
+    L = spec.num_scales
+    node_ptr = np.asarray(spec.node_ptr)
+    edge_ptr = np.asarray(spec.edge_ptr)
+    intra_ptr = np.asarray(spec.intra_edge_ptr)
+    counts = spec.node_counts
+    if any(c % n_parts for c in counts):
+        return None
+
+    def part(arr, i):
+        a = np.asarray(arr)[node_ptr[i]: node_ptr[i + 1]]
+        return a.reshape((n_parts, counts[i] // n_parts) + a.shape[1:])
+
+    ei = np.asarray(graph.edge_index)
+    iei = np.asarray(graph.intra_edge_index)
+    out = {"x_static": [], "x_dynamic": [], "node_mask": [],
+           "proc": [], "pool": [], "unpool": []}
+    for i in range(L):
+        tab = np.maximum(np.asarray(graph.in_edge_table)[
+            node_ptr[i]: node_ptr[i + 1]] - edge_ptr[i], 0)
+        tmask = np.asarray(graph.in_edge_mask)[node_ptr[i]: node_ptr[i + 1]]
+        src_local = ei[0, edge_ptr[i]: edge_ptr[i + 1]] - node_ptr[i]
+        plan = build_dist_slot_plan(src_local[tab], tmask, counts[i], n_parts)
+        if plan is None:
+            return None
+        ea = np.asarray(graph.edge_attr)[edge_ptr[i]: edge_ptr[i + 1]]
+        ea_slots = (ea[tab] * tmask[..., None]).reshape(
+            (n_parts, counts[i] // n_parts) + (tab.shape[1], ea.shape[1]))
+        out["proc"].append({
+            "src_tab": plan["src_tab"], "smask": plan["slot_mask"],
+            "ea": ea_slots.astype(np.float32),
+            "send_next": plan["send_next"], "send_prev": plan["send_prev"]})
+        out["x_static"].append(part(graph.x_static, i))
+        out["x_dynamic"].append(part(graph.x_dynamic, i))
+        out["node_mask"].append(part(graph.node_mask, i))
+
+    for lvl in range(L - 1):
+        isl = slice(intra_ptr[lvl], intra_ptr[lvl + 1])
+        fine_local = iei[1, isl] - node_ptr[lvl]
+        coarse_local = iei[0, isl] - node_ptr[lvl + 1]
+        ptab = np.maximum(np.asarray(graph.pool_table)[
+            node_ptr[lvl + 1]: node_ptr[lvl + 2]] - intra_ptr[lvl], 0)
+        pmask = np.asarray(graph.pool_mask)[node_ptr[lvl + 1]: node_ptr[lvl + 2]]
+        plan = build_dist_slot_plan(fine_local[ptab], pmask, counts[lvl + 1],
+                                    n_parts, num_src_nodes=counts[lvl])
+        if plan is None:
+            return None
+        out["pool"].append({
+            "src_tab": plan["src_tab"], "smask": plan["slot_mask"],
+            "send_next": plan["send_next"], "send_prev": plan["send_prev"]})
+        utab = np.maximum(np.asarray(graph.unpool_table)[
+            node_ptr[lvl]: node_ptr[lvl + 1]] - intra_ptr[lvl], 0)
+        umask = np.asarray(graph.unpool_mask)[node_ptr[lvl]: node_ptr[lvl + 1]]
+        plan = build_dist_slot_plan(coarse_local[utab], umask, counts[lvl],
+                                    n_parts, num_src_nodes=counts[lvl + 1])
+        if plan is None:
+            return None
+        out["unpool"].append({
+            "src_tab": plan["src_tab"], "smask": plan["slot_mask"],
+            "send_next": plan["send_next"], "send_prev": plan["send_prev"]})
+
+    def to_dev(x):
+        return jnp.asarray(x)
+    return jax.tree_util.tree_map(to_dev, out)
+
+
+def make_dist_msgnn_forward(mesh: Mesh, cfg):
+    """Distributed multiscale MSGNN forward (models/msgnn.py:apply_msgnn)
+    over the graph mesh axis: every scale's nodes are partitioned into P
+    ring-ordered blocks; processors exchange boundary rows per hop, pooling /
+    un-pooling exchange boundary rows across adjacent-scale partitions.
+
+    ``cfg`` is a ``models.msgnn.MSGNNConfig`` (mean pooling only). Inputs
+    are the part-major arrays of :func:`build_dist_msgnn_inputs`. Returns a
+    tuple of per-scale part-major predictions [P, B_i, 2]; reshaping each to
+    [C_i, 2] and concatenating recovers the scale-major node order.
+    """
+    from mswe_gnn_tpu.models import base as base_model
+    from mswe_gnn_tpu.models.activations import apply_activation
+
+    assert not cfg.learned_pooling, "distributed path covers mean pooling"
+    axis_size = mesh.shape[AXIS]
+    L = cfg.num_scales
+    ks = cfg.k_schedule
+
+    def _pool_cross(x_fine, plan):
+        buf = _halo_concat(x_fine, plan["send_next"][0], plan["send_prev"][0],
+                           axis_size)
+        tab, msk = plan["src_tab"][0], plan["smask"][0]
+        sums = jnp.zeros((tab.shape[0], x_fine.shape[1]), x_fine.dtype)
+        for d in range(tab.shape[1]):
+            sums = sums + jnp.take(buf, tab[:, d], axis=0) * msk[:, d:d + 1]
+        cnt = msk.sum(axis=1)
+        return jnp.where(cnt[:, None] > 0,
+                         sums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=P(AXIS),
+    )
+    def forward(params, dist):
+        xs_b, xd_b, x0_b, nm_b = [], [], [], []
+        n_s = cfg.static_node_features - int(cfg.with_WL)
+        for i in range(L):
+            x = jnp.concatenate([dist["x_static"][i][0],
+                                 dist["x_dynamic"][i][0]], axis=-1)
+            x0_b.append(x)
+            x_s, x_d = x[:, :n_s], x[:, n_s:]
+            if cfg.with_WL:
+                wl = x_s[:, -1] + x_d[:, -cfg.out_dim]
+                x_s = jnp.concatenate([x_s, wl[:, None]], axis=-1)
+            xs_b.append(apply_mlp(params["static_node_encoder"], x_s,
+                                  activation=cfg.mlp_activation))
+            xd_b.append(apply_mlp(params["dynamic_node_encoder"], x_d,
+                                  activation=cfg.mlp_activation))
+            nm_b.append(dist["node_mask"][i][0])
+
+        ea_b = []
+        for i in range(L):
+            ea = dist["proc"][i]["ea"][0]
+            if cfg.edge_mlp:
+                ea = apply_mlp(params["edge_encoder"], ea,
+                               activation=cfg.mlp_activation)
+            ea_b.append(ea)
+
+        def proc(i, gnn_id):
+            pl = dist["proc"][i]
+            return _dist_layer_local(
+                params["gnn_processor"][gnn_id], cfg.processor_cfg(ks[gnn_id]),
+                xs_b[i], xd_b[i], pl["src_tab"][0], pl["smask"][0], ea_b[i],
+                pl["send_next"][0], pl["send_prev"][0], axis_size)
+
+        zeros_b = [jnp.zeros_like(b) for b in xd_b]
+        x_down_b = [None] * L
+        x_up_b = [None] * L
+
+        # --- downsweep
+        for i in range(L - 1):
+            xd_b[i] = proc(i, i)
+            x_down_b[i] = xd_b[i]
+            pooled = _pool_cross(xd_b[i], dist["pool"][i])
+            for j in range(L):
+                xd_b[j] = zeros_b[j]
+            xd_b[i + 1] = pooled
+        x_down_b[L - 1] = xd_b[L - 1]
+
+        # --- upsweep
+        for i in range(L):
+            scale = L - 1 - i
+            xd_b[scale] = proc(scale, L - 1 + i)
+            x_up_b[scale] = xd_b[scale]
+            if i < L - 1:
+                lvl = scale - 1
+                pl = dist["unpool"][lvl]
+                xd_b[lvl] = _dist_layer_local(
+                    params["intra_scale_gnn"][i], cfg.intra_cfg(),
+                    xs_b[lvl], xd_b[lvl], pl["src_tab"][0], pl["smask"][0],
+                    None, pl["send_next"][0], pl["send_prev"][0], axis_size,
+                    x_s_src=xs_b[scale], x_d_src=xd_b[scale])
+                if cfg.skip_connections:
+                    xd_b[lvl] = xd_b[lvl] + x_down_b[lvl]
+
+        outs = []
+        for i in range(L):
+            h = x_up_b[i]
+            if cfg.gnn_activation is not None:
+                h = apply_activation(cfg.gnn_activation, params["gnn_act"], h)
+            o = apply_mlp(params["node_decoder"], h,
+                          activation=cfg.mlp_activation)
+            o = o + base_model.add_residual_connection(
+                x0_b[i], params.get("residual_weights"), cfg.learned_residuals,
+                cfg.previous_t, cfg.out_dim)
+            o = jax.nn.relu(o)
+            o = base_model.mask_small_wd(o, epsilon=0.0001)
+            outs.append(o * nm_b[i][:, None])
+        return tuple(outs)
 
     return forward
 

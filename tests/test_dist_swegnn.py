@@ -118,6 +118,94 @@ def test_dist_gnn_forward_matches_apply_gnn(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_dist_msgnn_forward_matches_apply_msgnn(rng):
+    """Distributed multiscale V-cycle (per-scale ring partitions, cross-scale
+    pool/unpool halo plans) vs the single-device apply_msgnn."""
+    from mswe_gnn_tpu.graph import GraphSpec, build_flood_graph
+    from mswe_gnn_tpu.models.msgnn import MSGNNConfig, apply_msgnn, init_msgnn
+    from mswe_gnn_tpu.parallel.dist_swegnn import (
+        build_dist_msgnn_inputs, make_dist_msgnn_forward)
+
+    n0, n1, parts, prev_t = 64, 32, 4, 2
+    ei0 = banded_graph(n0)
+    ei1 = banded_graph(n1) + n0       # raw scale-major numbering
+    ei = np.concatenate([ei0, ei1], axis=1)
+    e0, e1 = ei0.shape[1], ei1.shape[1]
+    # transfer edges: fine i -> coarse n0 + i//2, rows = (coarse, fine)
+    fine = np.arange(n0)
+    iei = np.stack([n0 + fine // 2, fine]).astype(np.int32)
+
+    spec = GraphSpec(node_counts=(n0, n1), edge_counts=(e0, e1),
+                     intra_edge_counts=(n0,), num_bc=1)
+    x_static = rng.normal(size=(n0 + n1, 2)).astype(np.float32)
+    x_dynamic = np.abs(rng.normal(size=(n0 + n1, 2 * prev_t))).astype(np.float32)
+    x_dynamic[rng.random(n0 + n1) > 0.6] = 0.0
+    ea = rng.normal(size=(e0 + e1, 3)).astype(np.float32)
+    graph = build_flood_graph(
+        x_static=x_static, x_dynamic=x_dynamic, edge_index=ei, edge_attr=ea,
+        spec=spec, raw_node_counts=(n0, n1), raw_edge_counts=(e0, e1),
+        intra_edge_index=iei, raw_intra_edge_counts=(n0,),
+        previous_t=prev_t)
+
+    cfg = MSGNNConfig(num_node_features=2 + 2 * prev_t, num_edge_features=3,
+                      num_scales=2, hid_features=8, K=2, mlp_layers=2,
+                      with_WL=True, learned_residuals=True, previous_t=prev_t,
+                      skip_connections=True)
+    params = init_msgnn(jax.random.PRNGKey(2), cfg)
+    want = np.asarray(apply_msgnn(params, cfg, graph))
+
+    dist = build_dist_msgnn_inputs(graph, parts)
+    assert dist is not None
+    mesh = make_mesh(2, parts)
+    fwd = make_dist_msgnn_forward(mesh, cfg)
+    outs = fwd(params, dist)
+    got = np.concatenate([np.asarray(o).reshape(-1, 2) for o in outs], axis=0)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_reorder_and_dist_on_synthetic_mesh(rng):
+    """BFS/barycentric reordering of a real synthetic multiscale mesh makes
+    ring plans succeed; model output is permutation-consistent and the
+    distributed forward matches the single-device one."""
+    from mswe_gnn_tpu.data.dataset import (
+        fit_dataset_scalers, make_spec, process_record, to_temporal_samples)
+    from mswe_gnn_tpu.data.synthetic import generate_simulation_record
+    from mswe_gnn_tpu.models.msgnn import MSGNNConfig, apply_msgnn, init_msgnn
+    from mswe_gnn_tpu.parallel.dist_swegnn import (
+        build_dist_msgnn_inputs, make_dist_msgnn_forward,
+        reorder_graph_for_ring)
+
+    parts = 4
+    rec = generate_simulation_record(0, nx=16, ny=16, num_scales=2,
+                                     total_hours=6, substeps=2)
+    scalers = fit_dataset_scalers([rec], {"area_scaler": "standard",
+                                          "edge_length_scaler": "standard"})
+    proc = process_record(rec, scalers)
+    spec = make_spec(rec.mesh, len(rec.mesh.ghosts.ghost_nodes),
+                     pad_multiple=parts)
+    g = to_temporal_samples(proc, spec, previous_t=2, rollout_steps=1)[0]
+
+    cfg = MSGNNConfig(num_node_features=g.x_static.shape[1] + g.x_dynamic.shape[1],
+                      num_edge_features=g.edge_attr.shape[1], num_scales=2,
+                      hid_features=8, K=2, mlp_layers=2, with_WL=True,
+                      learned_residuals=True, previous_t=2)
+    params = init_msgnn(jax.random.PRNGKey(3), cfg)
+    base = np.asarray(apply_msgnn(params, cfg, g))
+
+    g2, perm = reorder_graph_for_ring(g, parts)
+    re = np.asarray(apply_msgnn(params, cfg, g2))
+    # permutation consistency: row perm[k] of the original = row k reordered
+    np.testing.assert_allclose(re, base[perm], rtol=2e-5, atol=2e-6)
+
+    dist = build_dist_msgnn_inputs(g2, parts)
+    assert dist is not None, "ring plan must succeed after reordering"
+    mesh = make_mesh(2, parts)
+    fwd = make_dist_msgnn_forward(mesh, cfg)
+    outs = fwd(params, dist)
+    got = np.concatenate([np.asarray(o).reshape(-1, 2) for o in outs], axis=0)
+    np.testing.assert_allclose(got, re, rtol=2e-5, atol=2e-6)
+
+
 def test_plan_rejects_nonlocal(rng):
     n, parts = 64, 4
     src_slots = rng.integers(0, n, size=(n, 4)).astype(np.int32)
