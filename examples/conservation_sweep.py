@@ -1,0 +1,60 @@
+"""Mass-conservation regularizer sweep — the reference's
+``results/mass_conservation.csv`` study (best CSI@0.05 at lambda~0.023 vs
+lambda=0; reference SURVEY.md §6) reproduced on the synthetic dataset.
+
+Trains the same MSGNN with conservation weight lambda in a small grid and
+records test CSI / RMSE / conservation error per lambda into
+``results_repo/conservation_sweep.json``.
+
+Run:  python examples/conservation_sweep.py [--epochs 60] [--lambdas 0,0.0233,0.1]
+"""
+import argparse
+import copy
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mswe_gnn_tpu.config import read_config
+from mswe_gnn_tpu.main import _setup_cache, run_training
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/demo_small.yaml")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--lambdas", default="0,0.0233,0.1",
+                    help="comma-separated conservation weights")
+    ap.add_argument("--out", default="results_repo/conservation_sweep.json")
+    args = ap.parse_args(argv)
+
+    _setup_cache()
+    base = read_config(args.config)
+    base["trainer_options"]["max_epochs"] = args.epochs
+    lambdas = [float(x) for x in args.lambdas.split(",")]
+
+    rows = []
+    for lam in lambdas:
+        cfg = copy.deepcopy(base)
+        cfg["trainer_options"]["conservation"] = lam
+        out_dir = f"runs/cons_sweep_{lam:g}"
+        summary = run_training(cfg, out_dir)
+        rows.append({"conservation_lambda": lam,
+                     "test_CSI_005": summary["test_CSI_005"],
+                     "test_CSI_03": summary["test_CSI_03"],
+                     "test_RMSE_WD": summary["test_RMSE_WD"],
+                     "test_mass_conservation_abs":
+                         summary["test_mass_conservation_abs"]})
+        print(json.dumps(rows[-1]), flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=2)
+    best = max(rows, key=lambda r: r["test_CSI_005"])
+    print(f"best lambda={best['conservation_lambda']} "
+          f"CSI@0.05={best['test_CSI_005']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

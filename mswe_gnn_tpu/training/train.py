@@ -146,6 +146,46 @@ def find_max_batch_size(apply_fn, cfg, params, graphs, opts: TrainerOptions,
     return max(best, start)
 
 
+def tune_batch_size(apply_fn, cfg, params, graphs, opts: TrainerOptions,
+                    multiscale: bool = True,
+                    candidates=(1, 2, 4, 8, 16), reps: int = 3):
+    """Throughput-based batch tuner: probe the jitted train step across
+    concat batch sizes and return (best_batch, {bs: simulations/s}).
+
+    Complements :func:`find_max_batch_size` (which finds the memory limit):
+    per-chip throughput peaks well below the memory limit on big meshes
+    (HBM pressure from the flux tables), so the right batch is the
+    *fastest*, not the largest."""
+    optimizer = make_optimizer(opts, steps_per_epoch=1)
+    rates: Dict[int, float] = {}
+    best, best_rate = candidates[0], 0.0
+    for bs in candidates:
+        if bs > len(graphs):
+            break
+        try:
+            batch = concat_graphs(list(graphs[:bs]))
+            p = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+            st = optimizer.init(p)
+            p, st, loss = train_step(
+                p, st, batch, apply_fn=apply_fn, cfg=cfg,
+                rollout_steps=opts.max_rollout_steps, opts=opts,
+                multiscale=multiscale, optimizer=optimizer)
+            float(loss)  # sync (compile + warm)
+            t0 = time.time()
+            for _ in range(reps):
+                p, st, loss = train_step(
+                    p, st, batch, apply_fn=apply_fn, cfg=cfg,
+                    rollout_steps=opts.max_rollout_steps, opts=opts,
+                    multiscale=multiscale, optimizer=optimizer)
+            float(loss)  # sync
+            rates[bs] = bs * reps / (time.time() - t0)
+        except Exception:
+            break
+        if rates[bs] > best_rate:
+            best, best_rate = bs, rates[bs]
+    return best, rates
+
+
 def pushforward_loss(
     apply_fn: Callable,
     params,
@@ -219,15 +259,18 @@ def train_step(params, opt_state, batch: FloodGraph, *, apply_fn, cfg,
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "steps", "opts",
-                                             "multiscale"))
+                                             "multiscale", "per_graph"))
 def eval_step(params, batch: FloodGraph, *, apply_fn, cfg, steps: int,
-              opts: TrainerOptions, multiscale: bool):
+              opts: TrainerOptions, multiscale: bool, per_graph: bool = False):
     """Full-rollout validation metrics (reference training/train.py:157-180).
 
     Metrics are computed on the finest scale only for multiscale graphs.
     Accepts vmap-stacked batches (leading batch axis) or concat-batched
-    union graphs (2D leaves).
-    """
+    union graphs (2D leaves). With ``per_graph`` (concat batches), also
+    returns per-simulation curves: the tiled spec keeps each scale's
+    sub-graphs back to back, so the finest block reshapes to [B, n0, ...]
+    (the reference's per-simulation SpatialAnalysis view,
+    utils/miscellaneous.py:311)."""
     if batch.x_static.ndim == 2:
         preds = rollout(apply_fn, params, cfg, batch, steps)    # [N,2,T]
         real = batch.y[..., :steps]
@@ -241,9 +284,23 @@ def eval_step(params, batch: FloodGraph, *, apply_fn, cfg, steps: int,
                                     only_where_water=opts.only_where_water).mean()
         csi005 = get_csi(preds, real, nmask, water_threshold=0.05)
         csi03 = get_csi(preds, real, nmask, water_threshold=0.3)
-        return {"val_loss": val_loss,
-                "val_CSI_005": jnp.nanmean(csi005),
-                "val_CSI_03": jnp.nanmean(csi03)}
+        out = {"val_loss": val_loss,
+               "val_CSI_005": jnp.nanmean(csi005),
+               "val_CSI_03": jnp.nanmean(csi03)}
+        if per_graph and batch.num_graphs > 1:
+            b = batch.num_graphs
+            n0 = preds.shape[0] // b
+            pg = preds.reshape(b, n0, *preds.shape[1:])
+            rg = real.reshape(b, n0, *real.shape[1:])
+            mg = nmask.reshape(b, n0)
+            out["per_graph_CSI_005"] = jnp.nanmean(
+                get_csi(pg, rg, mg, water_threshold=0.05), axis=-1)   # [B]
+            out["per_graph_CSI_03"] = jnp.nanmean(
+                get_csi(pg, rg, mg, water_threshold=0.3), axis=-1)
+            out["per_graph_loss"] = get_rollout_loss(
+                pg, rg, mg, type_loss=opts.type_loss,
+                only_where_water=opts.only_where_water)               # [B,2]
+        return out
     preds = rollout_batch(apply_fn, params, cfg, batch, steps)  # [B,N,2,T]
     real = batch.y[..., :steps]
     if multiscale:

@@ -105,6 +105,39 @@ def test_eval_step_metrics_keys():
     assert np.isfinite(float(m["val_loss"]))
 
 
+def test_eval_step_per_graph_matches_singletons():
+    """Per-simulation curves from a concat batch equal per-graph eval runs."""
+    from mswe_gnn_tpu.graph import concat_graphs
+
+    samples, _ = make_samples(rollout=3)
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions()
+    batch = concat_graphs(samples[:2])
+    m = eval_step(params, batch, apply_fn=apply_msgnn, cfg=cfg, steps=3,
+                  opts=opts, multiscale=True, per_graph=True)
+    assert m["per_graph_CSI_005"].shape == (2,)
+    assert m["per_graph_loss"].shape == (2, 2)
+    for i in range(2):
+        mi = eval_step(params, samples[i], apply_fn=apply_msgnn, cfg=cfg,
+                       steps=3, opts=opts, multiscale=True)
+        np.testing.assert_allclose(float(m["per_graph_CSI_005"][i]),
+                                   float(mi["val_CSI_005"]), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_tune_batch_size_returns_candidate():
+    from mswe_gnn_tpu.training.train import tune_batch_size
+
+    samples, _ = make_samples(rollout=2)
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions(max_rollout_steps=2)
+    best, rates = tune_batch_size(apply_msgnn, cfg, params, samples[:4], opts,
+                                  candidates=(1, 2), reps=1)
+    assert best in (1, 2)
+    assert set(rates) == {1, 2}
+    assert all(r > 0 for r in rates.values())
+
+
 def test_trainer_fit_smoke():
     samples, _ = make_samples(rollout=2)
     cfg, params = make_model(samples[0], K=1, hid=8)
