@@ -108,20 +108,72 @@ def convert_pyg_data(data) -> SimulationRecord:
                             temporal_res=60.0)
 
 
+class _StubPyG:
+    """Shape-polymorphic stand-in for any torch_geometric class in a pickle
+    stream. Absorbs whatever state pickle hands it and exposes the tensors
+    the way ``convert_pyg_data`` reads them (attribute access, including
+    through PyG 2.x's ``_store._mapping`` indirection)."""
+
+    def __init__(self, *args, **kwargs):
+        for k, v in kwargs.items():
+            self.__dict__[k] = v
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        elif isinstance(state, tuple):
+            for part in state:
+                if isinstance(part, dict):
+                    self.__dict__.update(part)
+
+    def __getattr__(self, name):
+        d = object.__getattribute__(self, "__dict__")
+        for holder in ("_store", "_global_store"):
+            store = d.get(holder)
+            if store is not None:
+                m = store.__dict__.get("_mapping") if hasattr(store, "__dict__") \
+                    else None
+                if isinstance(m, dict) and name in m:
+                    return m[name]
+        m = d.get("_mapping")
+        if isinstance(m, dict) and name in m:
+            return m[name]
+        raise AttributeError(name)
+
+
+class _StubUnpickler(pickle.Unpickler):
+    """Unpickler that substitutes torch_geometric (and the reference's
+    ``database`` package) classes with :class:`_StubPyG`, so Zenodo pickles
+    load with plain torch only."""
+
+    def find_class(self, module, name):
+        if module.split(".")[0] in ("torch_geometric", "database"):
+            return _StubPyG
+        return super().find_class(module, name)
+
+
 def load_reference_pickle(path: str, size: Optional[int] = None,
-                          seed: int = 42) -> List[SimulationRecord]:
-    """Load a reference .pkl dataset (requires torch_geometric to unpickle)."""
-    try:
-        import torch_geometric  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "loading reference pickles requires torch_geometric (the pickle "
-            "stream references its classes); install it or convert the "
-            "dataset to the HDF5 format via data.io.save_records") from e
+                          seed: int = 42,
+                          allow_stub: bool = True) -> List[SimulationRecord]:
+    """Load a reference .pkl dataset (reference utils/load.py:19-38).
+
+    Uses torch_geometric when importable; otherwise (``allow_stub``)
+    substitutes its classes with a generic stub at unpickle time — the
+    tensors inside are plain torch and survive either way."""
     import random
 
+    try:
+        import torch_geometric  # noqa: F401
+        have_pyg = True
+    except ImportError:
+        have_pyg = False
+    if not have_pyg and not allow_stub:
+        raise ImportError(
+            "loading reference pickles requires torch_geometric, or pass "
+            "allow_stub=True to substitute its classes at unpickle time")
+
     with open(path, "rb") as f:
-        dataset = pickle.load(f)
+        dataset = pickle.load(f) if have_pyg else _StubUnpickler(f).load()
     if seed != 0:
         random.Random(seed).shuffle(dataset)
     if size is not None:
