@@ -156,9 +156,18 @@ def run_training(cfg: Dict, out_dir: str) -> Dict:
 
     opts = trainer_options(cfg)
     multiscale = cfg["models"]["model_type"] == "MSGNN"
+    mesh = None
+    par = cfg.get("parallel") or {}
+    if int(par.get("data", 1)) * int(par.get("graph", 1)) > 1:
+        from mswe_gnn_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(int(par.get("data", 1)), int(par.get("graph", 1)))
+        print(f"device mesh: data={mesh.shape['data']} x "
+              f"graph={mesh.shape['graph']}")
     tr = Trainer(apply_fn, model_cfg, params, opts, train, val,
                  multiscale=multiscale, log_fn=logger.log,
-                 checkpoint_dir=os.path.join(out_dir, "autosave"))
+                 checkpoint_dir=os.path.join(out_dir, "autosave"),
+                 mesh=mesh)
     if os.path.exists(os.path.join(out_dir, "autosave", "meta.json")):
         resumed = tr.resume(os.path.join(out_dir, "autosave"))
         print(f"resumed from epoch {resumed}")

@@ -65,3 +65,35 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / opt state) across the whole mesh."""
     s = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def union_sharding(mesh: Mesh, batch: FloodGraph) -> FloodGraph:
+    """Shardings for a concat-batched (disconnected-union) graph: the big
+    node/edge axis of every leaf is sharded over ALL mesh devices (flattened
+    ('data','graph') axes) — spatial parallelism over the union graph, the
+    GSPMD complement of the ring-halo path in parallel/dist_swegnn.py.
+
+    Leaves whose big axis does not divide the device count stay replicated
+    (BC arrays, small masks); ``edge_index [2, E]`` shards its second axis.
+    """
+    n_dev = mesh.shape["data"] * mesh.shape["graph"]
+    axes = ("data", "graph")
+
+    def spec_for(leaf):
+        if leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        # [2, E] index arrays: shard the edge axis
+        if leaf.ndim == 2 and leaf.shape[0] == 2 and leaf.shape[1] % n_dev == 0 \
+                and leaf.shape[1] >= 2 * n_dev:
+            return NamedSharding(mesh, P(None, axes))
+        if leaf.shape[0] % n_dev == 0 and leaf.shape[0] >= 2 * n_dev:
+            return NamedSharding(mesh, P(axes, *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, batch)
+
+
+def shard_union_batch(batch: FloodGraph, mesh: Mesh) -> FloodGraph:
+    """Place a concat-batched union graph onto the mesh."""
+    shardings = union_sharding(mesh, batch)
+    return jax.tree_util.tree_map(jax.device_put, batch, shardings)

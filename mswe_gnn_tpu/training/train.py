@@ -333,9 +333,14 @@ class Trainer:
                  checkpoint_dir: Optional[str] = None,
                  checkpoint_every: int = 25,
                  curriculum_mode: str = "epoch",
-                 batch_layout: str = "concat"):
+                 batch_layout: str = "concat",
+                 mesh=None):
         self.apply_fn = apply_fn
         self.cfg = cfg
+        self.mesh = mesh   # optional jax.sharding.Mesh ('data','graph'):
+        #   vmap batches   -> batch axis on 'data', node/edge axes on 'graph'
+        #   concat batches -> the union graph's node/edge axes over all devices
+        # params/opt state replicated; XLA GSPMD inserts the collectives.
         # own a private copy: train_step donates its params buffers, and the
         # caller may hold (and reuse) the originals
         self.params = jax.tree_util.tree_map(
@@ -347,6 +352,11 @@ class Trainer:
         self.steps_per_epoch = max(1, len(train_graphs) // opts.batch_size)
         self.optimizer = make_optimizer(opts, self.steps_per_epoch)
         self.opt_state = self.optimizer.init(params)
+        if mesh is not None:
+            from mswe_gnn_tpu.parallel.sharding import replicate
+
+            self.params = replicate(self.params, mesh)
+            self.opt_state = replicate(self.opt_state, mesh)
         self.rng = np.random.default_rng(opts.seed)
         self.log_fn = log_fn or (lambda m: None)
         self.history: List[Dict] = []
@@ -381,18 +391,28 @@ class Trainer:
         self.start_epoch = int(meta.get("epoch", 0))
         return self.start_epoch
 
+    def _place(self, batch: FloodGraph) -> FloodGraph:
+        if self.mesh is None:
+            return batch
+        from mswe_gnn_tpu.parallel.sharding import (shard_batch,
+                                                    shard_union_batch)
+
+        if batch.x_static.ndim == 2:
+            return shard_union_batch(batch, self.mesh)
+        return shard_batch(batch, self.mesh, shard_graph=True)
+
     def _batches(self, graphs, batch_size, shuffle):
         build = concat_graphs if self.batch_layout == "concat" else stack_graphs
         idx = np.arange(len(graphs))
         if shuffle:
             self.rng.shuffle(idx)
         for i in range(0, len(idx) - batch_size + 1, batch_size):
-            yield build([graphs[j] for j in idx[i:i + batch_size]])
+            yield self._place(build([graphs[j] for j in idx[i:i + batch_size]]))
         rem = len(idx) % batch_size
         if rem and len(idx) >= batch_size:
             pass  # drop ragged tail: static batch shapes (last partial batch skipped)
         elif rem:
-            yield build([graphs[j] for j in idx])
+            yield self._place(build([graphs[j] for j in idx]))
 
     def fit(self, max_epochs: Optional[int] = None, val_every: int = 1):
         opts = self.opts
