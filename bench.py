@@ -93,6 +93,40 @@ def _setup_cache():
     enable_compilation_cache()
 
 
+def bench_training(cfg, params, apply_fn, sample, mesh):
+    """Optional training-throughput measurement (BENCH_TRAIN=1): jitted
+    pushforward train step (rollout_steps=6, batch from BENCH_BATCH)."""
+    from mswe_gnn_tpu.graph import concat_graphs
+    from mswe_gnn_tpu.training.train import (TrainerOptions, make_optimizer,
+                                             train_step)
+
+    batch_n = int(os.environ.get("BENCH_BATCH", "1"))
+    batch = concat_graphs([sample] * batch_n) if batch_n > 1 else sample
+    opts = TrainerOptions(batch_size=batch_n, velocity_scaler=7.0)
+    optimizer = make_optimizer(opts, steps_per_epoch=1)
+    state = optimizer.init(params)
+    p = params
+    t0 = time.time()
+    p, state, loss = train_step(p, state, batch, apply_fn=apply_fn, cfg=cfg,
+                                rollout_steps=6, opts=opts, multiscale=True,
+                                optimizer=optimizer)
+    float(loss)
+    log(f"train compile+first step: {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        p, state, loss = train_step(p, state, batch, apply_fn=apply_fn,
+                                    cfg=cfg, rollout_steps=6, opts=opts,
+                                    multiscale=True, optimizer=optimizer)
+        float(loss)
+        times.append(time.time() - t0)
+    t = float(np.median(times))
+    log(f"train step (6-step pushforward, batch {batch_n}): {t:.3f}s "
+        f"-> {batch_n / t:.2f} sims/s")
+    return {"train_step_seconds": round(t, 4), "train_batch": batch_n,
+            "train_sims_per_sec": round(batch_n / t, 3)}
+
+
 def main():
     _setup_cache()
     t0 = time.time()
@@ -135,20 +169,23 @@ def main():
     edges_per_sec = msgs / t
     log(f"rollout times: {[round(x, 3) for x in times]} -> median {t:.3f}s, "
         f"{msgs/1e6:.1f}M edge-messages, {edges_per_sec/1e9:.3f} B msgs/s")
+    detail = {
+        "rollout_seconds": round(t, 4),
+        "reference_rollout_seconds": REFERENCE_ROLLOUT_SECONDS,
+        "mesh_nodes": int(mesh.num_nodes),
+        "rollout_steps": T,
+        "batch": batch,
+        "seconds_per_simulation": round(t / batch, 4),
+        "model": "MSGNN K=5 F=64 (dk15-class)",
+    }
+    if os.environ.get("BENCH_TRAIN"):
+        detail.update(bench_training(cfg, params, apply_fn, sample, mesh))
     print(json.dumps({
         "metric": "edge_messages_per_sec_per_chip",
         "value": round(edges_per_sec, 1),
         "unit": "messages/s",
         "vs_baseline": round(REFERENCE_ROLLOUT_SECONDS / (t / batch), 2),
-        "detail": {
-            "rollout_seconds": round(t, 4),
-            "reference_rollout_seconds": REFERENCE_ROLLOUT_SECONDS,
-            "mesh_nodes": int(mesh.num_nodes),
-            "rollout_steps": T,
-            "batch": batch,
-            "seconds_per_simulation": round(t / batch, 4),
-            "model": "MSGNN K=5 F=64 (dk15-class)",
-        },
+        "detail": detail,
     }))
 
 

@@ -167,7 +167,9 @@ def run_training(cfg: Dict, out_dir: str) -> Dict:
     tr = Trainer(apply_fn, model_cfg, params, opts, train, val,
                  multiscale=multiscale, log_fn=logger.log,
                  checkpoint_dir=os.path.join(out_dir, "autosave"),
-                 mesh=mesh)
+                 mesh=mesh,
+                 batch_layout=cfg["trainer_options"].get("batch_layout",
+                                                         "concat"))
     if os.path.exists(os.path.join(out_dir, "autosave", "meta.json")):
         resumed = tr.resume(os.path.join(out_dir, "autosave"))
         print(f"resumed from epoch {resumed}")

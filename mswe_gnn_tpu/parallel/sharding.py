@@ -44,7 +44,8 @@ def batch_sharding(mesh: Mesh, batch: FloodGraph, shard_graph: bool = True) -> F
         if ndim == 0:
             return NamedSharding(mesh, P())
         parts = [None] * ndim
-        parts[0] = "data"
+        if leaf.shape[0] % mesh.shape["data"] == 0:
+            parts[0] = "data"   # batches smaller than the axis replicate
         if shard_graph and ndim >= 2:
             # shard the big per-node/per-edge axis; leave tiny axes alone
             axis = 1 if leaf.shape[1] >= mesh.shape["graph"] * 2 else None
