@@ -38,6 +38,62 @@ from mswe_gnn_tpu.utils.analysis import SpatialAnalysis
 from mswe_gnn_tpu.utils.logging import MetricLogger
 
 
+def _generate_cached(sd: Dict, temporal_res: float):
+    """Synthetic records with a content-keyed HDF5 disk cache, so resumed
+    runs and parameter sweeps skip regeneration (cache dir overridable via
+    MSWE_DATA_CACHE; delete the dir to invalidate)."""
+    import hashlib
+
+    from mswe_gnn_tpu.data.io import load_records, save_records
+
+    key_src = json.dumps({**sd, "temporal_res": temporal_res}, sort_keys=True)
+    cache_dir = os.environ.get("MSWE_DATA_CACHE", "runs/data_cache")
+    path = os.path.join(cache_dir,
+                        hashlib.sha256(key_src.encode()).hexdigest()[:16] + ".h5")
+    if os.path.exists(path):
+        return load_records(path, seed=0)  # keep generation order (caller splits)
+    records = generate_dataset(
+        sd["n_sims"], seed=sd.get("seed", 0), nx=sd["nx"], ny=sd["ny"],
+        dx=sd.get("dx", 100.0), num_scales=sd["num_scales"],
+        total_hours=sd["total_hours"], temporal_res=temporal_res,
+        n_bc=sd.get("n_bc", 2), substeps=sd.get("substeps", 20),
+        mesh_type=sd.get("mesh_type", "grid"))
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    save_records(tmp, records)
+    os.replace(tmp, path)
+    return records
+
+
+def _load_reference_split(dp: Dict):
+    """Reference pickle datasets with the reference's exact split semantics
+    (reference utils/dataset.py:292-331): train pickle from
+    ``<dataset_folder>/train/<train_dataset_name>.pkl`` shuffled by ``seed``
+    and truncated to ``train_size``; test pickle from ``.../test/`` with
+    size 100, seed 0 (no shuffle); validation split off the train set."""
+    from sklearn.model_selection import train_test_split
+
+    from mswe_gnn_tpu.data.torch_compat import load_reference_pickle
+
+    folder = dp["dataset_folder"]
+    seed = dp.get("seed", 42)
+    train_records = load_reference_pickle(
+        os.path.join(folder, "train", dp["train_dataset_name"] + ".pkl"),
+        size=dp.get("train_size", 100), seed=seed)
+    test_records = load_reference_pickle(
+        os.path.join(folder, "test",
+                     dp.get("test_dataset_name", dp["train_dataset_name"])
+                     + ".pkl"),
+        size=100, seed=0)
+    val_prcnt = dp.get("val_prcnt", 0.25)
+    if val_prcnt:
+        train_records, val_records = train_test_split(
+            train_records, test_size=val_prcnt, random_state=seed)
+    else:
+        val_records = train_records
+    return train_records, val_records, test_records
+
+
 def prepare_data(cfg: Dict) -> Tuple[List[FloodGraph], List[FloodGraph],
                                      List[FloodGraph], Dict, object]:
     """Build train/val/test temporal datasets (reference main.py:26-56)."""
@@ -46,21 +102,20 @@ def prepare_data(cfg: Dict) -> Tuple[List[FloodGraph], List[FloodGraph],
     tdp = cfg["temporal_dataset_parameters"]
     rng = np.random.default_rng(dp.get("seed", 0))
 
-    records = generate_dataset(
-        sd["n_sims"], seed=sd.get("seed", 0), nx=sd["nx"], ny=sd["ny"],
-        dx=sd.get("dx", 100.0), num_scales=sd["num_scales"],
-        total_hours=sd["total_hours"], temporal_res=dp["temporal_res"],
-        n_bc=sd.get("n_bc", 2), substeps=sd.get("substeps", 20),
-        mesh_type=sd.get("mesh_type", "grid"))
+    if dp.get("dataset_folder"):
+        train_records, val_records, test_records = _load_reference_split(dp)
+        records = train_records + val_records + test_records
+    else:
+        records = _generate_cached(sd, dp["temporal_res"])
 
-    n = len(records)
-    n_test = max(1, int(round(n * 0.2)))
-    test_records = records[-n_test:]
-    pool = records[:-n_test]
-    n_val = max(1, int(round(len(pool) * dp.get("val_prcnt", 0.25))))
-    perm = rng.permutation(len(pool))
-    val_records = [pool[i] for i in perm[:n_val]]
-    train_records = [pool[i] for i in perm[n_val:]]
+        n = len(records)
+        n_test = max(1, int(round(n * 0.2)))
+        test_records = records[-n_test:]
+        pool = records[:-n_test]
+        n_val = max(1, int(round(len(pool) * dp.get("val_prcnt", 0.25))))
+        perm = rng.permutation(len(pool))
+        val_records = [pool[i] for i in perm[:n_val]]
+        train_records = [pool[i] for i in perm[n_val:]]
 
     scalers = fit_dataset_scalers(train_records, cfg["scalers"])
     feats = dict(node_features=cfg["selected_node_features"],
@@ -94,12 +149,13 @@ def prepare_data(cfg: Dict) -> Tuple[List[FloodGraph], List[FloodGraph],
 
 def build_experiment_model(cfg: Dict, sample: FloodGraph):
     tdp = cfg["temporal_dataset_parameters"]
-    sd = cfg["synthetic_data"]
+    # num_scales from the data itself (reference main.py:60 takes it from
+    # train_dataset[0].mesh.num_meshes) — works for synthetic AND pickle data
     return build_model(
         cfg["models"],
         num_node_features=sample.x_static.shape[1] + sample.x_dynamic.shape[1],
         num_edge_features=sample.edge_attr.shape[1],
-        num_scales=sd["num_scales"],
+        num_scales=sample.spec.num_scales,
         previous_t=tdp["previous_t"])
 
 
