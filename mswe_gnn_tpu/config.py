@@ -42,7 +42,7 @@ DEFAULTS: Dict[str, Any] = {
     "scalers": {
         "DEM_scaler": None, "slope_scaler": None, "area_scaler": "standard",
         "edge_length_scaler": "standard", "edge_slope_scaler": None,
-        "WD_scaler": None, "V_scaler": None,
+        "WD_scaler": None, "V_scaler": None, "forcing_scaler": "standard",
     },
     "selected_node_features": {
         "slopes": False, "slope": False, "area": True, "DEM": True,
@@ -71,7 +71,7 @@ DEFAULTS: Dict[str, Any] = {
     "synthetic_data": {
         "n_sims": 12, "nx": 32, "ny": 32, "dx": 100.0, "num_scales": 3,
         "total_hours": 48.0, "n_bc": 2, "substeps": 20, "seed": 0,
-        "pad_multiple": 64,
+        "pad_multiple": 64, "storm_forcing": False,
     },
 }
 

@@ -42,6 +42,12 @@ class SimulationRecord:
     temporal_res: float  # minutes
     solver_seconds: float = 0.0  # numerical-solver wall time (speed-up metric,
                                  # reference database/overview.csv + misc.py:70-114)
+    # exogenous per-node forcing fields [N, Ff, T] (e.g. wind stress WX/WY and
+    # pressure P of the reference's storm-surge extension,
+    # reference utils/adforce_dataset.py:80, 245); known for all t, fed to the
+    # model at each rollout step alongside the static features
+    forcing: Optional[np.ndarray] = None
+    forcing_names: tuple = ()
 
 
 def pool_to_scales(values: np.ndarray, mesh: MultiscaleMesh) -> np.ndarray:
@@ -98,6 +104,17 @@ def fit_dataset_scalers(records: Sequence[SimulationRecord],
         kinds.get("edge_length_scaler"), edge_per_scale("face_distance"))
     scalers["edge_slope_scaler"] = fit_multiscale_scaler(
         kinds.get("edge_slope_scaler"), edge_per_scale("edge_slope"))
+    # one scaler per forcing feature (wind/pressure magnitudes differ by
+    # orders of magnitude, so per-column fitting is required)
+    with_forcing = [r for r in records if r.forcing is not None]
+    if with_forcing and kinds.get("forcing_scaler"):
+        n_f = with_forcing[0].forcing.shape[1]
+        scalers["forcing_scaler"] = [
+            fit_scaler(kinds["forcing_scaler"],
+                       [r.forcing[:, f] for r in with_forcing])
+            for f in range(n_f)]
+    else:
+        scalers["forcing_scaler"] = None
     return scalers
 
 
@@ -132,6 +149,7 @@ class ProcessedSimulation:
     area: np.ndarray            # [N] raw area (for conservation)
     dem: np.ndarray             # [N] raw DEM
     temporal_res: float
+    forcing: Optional[np.ndarray] = None  # [N, Ff, T] scaled exogenous fields
 
 
 def process_record(rec: SimulationRecord, scalers: Dict[str, object],
@@ -180,6 +198,14 @@ def process_record(rec: SimulationRecord, scalers: Dict[str, object],
     vy = apply_scaler(scalers.get("V_scaler"), rec.vy) * wd
     q = np.sqrt(vx ** 2 + vy ** 2)
 
+    forcing = None
+    if rec.forcing is not None:
+        fsc = scalers.get("forcing_scaler")
+        forcing = np.stack([
+            apply_scaler(fsc[f] if isinstance(fsc, list) else fsc,
+                         rec.forcing[:, f])
+            for f in range(rec.forcing.shape[1])], axis=1).astype(np.float32)
+
     return ProcessedSimulation(
         mesh=mesh, x_static=x_static.astype(np.float32),
         edge_attr=edge_attr.astype(np.float32),
@@ -187,7 +213,7 @@ def process_record(rec: SimulationRecord, scalers: Dict[str, object],
         bc_per_length=rec.bc_per_length.astype(np.float32),
         area=mesh.concat_nodes("area").astype(np.float32),
         dem=mesh.concat_nodes("dem").astype(np.float32),
-        temporal_res=rec.temporal_res)
+        temporal_res=rec.temporal_res, forcing=forcing)
 
 
 def _node_slopes(mesh: MultiscaleMesh):
@@ -281,6 +307,14 @@ def to_temporal_samples(
     bc = np.concatenate([
         np.zeros((sim.bc_per_length.shape[0], p - 1), np.float32),
         sim.bc_per_length, sim.bc_per_length[:, -1:]], 1)
+    forc = None
+    if sim.forcing is not None:
+        # exogenous forcing gets the same dry-bed padding + final repeat as
+        # the BC series; windows index it identically (current input time of
+        # rollout step t = padded column t + p - 1)
+        forc = np.concatenate([
+            np.zeros(sim.forcing.shape[:2] + (p - 1,), np.float32),
+            sim.forcing, sim.forcing[:, :, -1:]], axis=2)
 
     ghosts = mesh.ghosts
     raw_node_counts = tuple(m.num_faces for m in mesh.meshes)
@@ -316,6 +350,8 @@ def to_temporal_samples(
             area=sim.area,
             dem=sim.dem,
             y=y,
+            forcing=(forc[:, :, init: init + p + rollout]
+                     if forc is not None else None),
             previous_t=p,
             temporal_res=sim.temporal_res,
         ))

@@ -49,6 +49,9 @@ def save_records(path: str, records: Sequence[SimulationRecord]) -> None:
             g.attrs["num_scales"] = rec.mesh.num_scales
             for name in ("wd", "vx", "vy", "bc_per_length"):
                 g.create_dataset(name, data=getattr(rec, name))
+            if rec.forcing is not None:
+                g.create_dataset("forcing", data=rec.forcing)
+                g.attrs["forcing_names"] = list(rec.forcing_names)
             mg = g.create_group("mesh")
             mg.create_dataset("node_ptr", data=rec.mesh.node_ptr)
             mg.create_dataset("edge_ptr", data=rec.mesh.edge_ptr)
@@ -84,7 +87,10 @@ def _read_record(g: h5py.Group) -> SimulationRecord:
         mesh=mesh, wd=g["wd"][...], vx=g["vx"][...], vy=g["vy"][...],
         bc_per_length=g["bc_per_length"][...],
         temporal_res=float(g.attrs["temporal_res"]),
-        solver_seconds=float(g.attrs.get("solver_seconds", 0.0)))
+        solver_seconds=float(g.attrs.get("solver_seconds", 0.0)),
+        forcing=g["forcing"][...] if "forcing" in g else None,
+        forcing_names=tuple(str(n) for n
+                            in g.attrs.get("forcing_names", ())))
 
 
 def load_records(path: str, size: Optional[int] = None,

@@ -149,3 +149,43 @@ def generate_simulation_record(
 
 def generate_dataset(n_sims: int, seed: int = 0, **kwargs) -> List[SimulationRecord]:
     return [generate_simulation_record(seed + i, **kwargs) for i in range(n_sims)]
+
+
+def add_storm_forcing(rec: SimulationRecord, seed: int = 0,
+                      wind_scale: float = 0.5,
+                      pressure_scale: float = 500.0) -> SimulationRecord:
+    """Attach synthetic storm forcing fields (WX, WY wind stress and P
+    pressure anomaly) to a record — the exogenous inputs of the reference's
+    storm-surge extension (reference utils/adforce_dataset.py:80, 243-260).
+
+    The fields are a translating smooth vortex: spatially coherent (Gaussian
+    envelope around a moving center) and temporally smooth, pooled onto every
+    mesh scale like the water variables.
+    """
+    import dataclasses
+
+    rng = np.random.default_rng(seed)
+    mesh = rec.mesh
+    finest = mesh.meshes[0]
+    xy = finest.face_xy  # [N0, 2] incl. ghost rows (mirrored BC faces)
+    T = rec.wd.shape[1]
+    lo, hi = xy.min(axis=0), xy.max(axis=0)
+    extent = float(np.max(hi - lo))
+    # storm track: straight line across the domain over the simulation
+    p0 = lo + rng.uniform(0.1, 0.4, 2) * (hi - lo)
+    p1 = lo + rng.uniform(0.6, 0.9, 2) * (hi - lo)
+    radius = extent * rng.uniform(0.2, 0.35)
+    fields = np.zeros((xy.shape[0], 3, T), np.float32)
+    for t in range(T):
+        c = p0 + (p1 - p0) * (t / max(T - 1, 1))
+        d = xy - c[None, :]
+        r2 = (d ** 2).sum(axis=1)
+        envelope = np.exp(-r2 / (2 * radius ** 2))
+        # cyclonic rotation: wind tangential to the radius vector
+        fields[:, 0, t] = wind_scale * envelope * (-d[:, 1] / radius)
+        fields[:, 1, t] = wind_scale * envelope * (d[:, 0] / radius)
+        fields[:, 2, t] = -pressure_scale * envelope
+    pooled = np.stack([pool_to_scales(fields[:, f], mesh)
+                       for f in range(3)], axis=1).astype(np.float32)
+    return dataclasses.replace(rec, forcing=pooled,
+                               forcing_names=("WX", "WY", "P"))

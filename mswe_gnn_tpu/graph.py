@@ -150,6 +150,12 @@ class FloodGraph:
     area: jax.Array
     dem: jax.Array
     y: Optional[jax.Array] = None
+    # exogenous per-node forcing series [N, Ff, previous_t + T] (wind stress /
+    # pressure of the reference's storm-surge extension, reference
+    # utils/adforce_dataset.py:245); same dry-bed padding as ``bc_values``, so
+    # the value at rollout step t is column t + previous_t - 1. Appended to
+    # the static features each step (training/rollout.py:with_step_forcing).
+    forcing: Optional[jax.Array] = None
     # ELL (padded neighbor-table) layout: turns the SpMM scatter into a
     # gather+sum — mesh in-degree is small and bounded, and TPU gathers are
     # far faster than scatter-adds. Entries are global edge ids; masked slots
@@ -209,6 +215,7 @@ def build_flood_graph(
     area: Optional[np.ndarray] = None,
     dem: Optional[np.ndarray] = None,
     y: Optional[np.ndarray] = None,
+    forcing: Optional[np.ndarray] = None,
     previous_t: int = 1,
     temporal_res: float = 60.0,
     dtype=np.float32,
@@ -254,6 +261,7 @@ def build_flood_graph(
     area_p = pad_nodes(area if area is not None else np.ones(total_raw_nodes), "area")
     dem_p = pad_nodes(dem if dem is not None else np.zeros(total_raw_nodes), "dem")
     y_p = pad_nodes(y, "y") if y is not None else None
+    forcing_p = pad_nodes(forcing, "forcing") if forcing is not None else None
 
     # --- edges: per-scale pad; padded edges self-loop on the scale's first node
     raw_edge_ptr = np.cumsum([0, *raw_edge_counts])
@@ -352,6 +360,7 @@ def build_flood_graph(
         area=jnp.asarray(area_p),
         dem=jnp.asarray(dem_p),
         y=jnp.asarray(y_p) if y_p is not None else None,
+        forcing=jnp.asarray(forcing_p) if forcing_p is not None else None,
         spec=spec,
         previous_t=previous_t,
         bc_kind=int(bc_kind),
@@ -524,6 +533,8 @@ def concat_graphs(graphs) -> FloodGraph:
         dem=jnp.asarray(node_cat(lambda g: g.dem)),
         y=(jnp.asarray(node_cat(lambda g: g.y))
            if g0.y is not None else None),
+        forcing=(jnp.asarray(node_cat(lambda g: g.forcing))
+                 if g0.forcing is not None else None),
         in_edge_table=jnp.asarray(in_tab),
         in_edge_mask=jnp.asarray(node_cat(lambda g: g.in_edge_mask)),
         pool_table=jnp.asarray(pool_tab),

@@ -58,6 +58,12 @@ def _generate_cached(sd: Dict, temporal_res: float):
         total_hours=sd["total_hours"], temporal_res=temporal_res,
         n_bc=sd.get("n_bc", 2), substeps=sd.get("substeps", 20),
         mesh_type=sd.get("mesh_type", "grid"))
+    if sd.get("storm_forcing"):
+        # exogenous wind/pressure fields (reference's storm-surge extension,
+        # reference utils/adforce_dataset.py); part of the cache key via sd
+        from mswe_gnn_tpu.data.synthetic import add_storm_forcing
+        records = [add_storm_forcing(r, seed=sd.get("seed", 0) + 7000 + i)
+                   for i, r in enumerate(records)]
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + ".tmp"
     save_records(tmp, records)
@@ -151,9 +157,11 @@ def build_experiment_model(cfg: Dict, sample: FloodGraph):
     tdp = cfg["temporal_dataset_parameters"]
     # num_scales from the data itself (reference main.py:60 takes it from
     # train_dataset[0].mesh.num_meshes) — works for synthetic AND pickle data
+    n_forcing = sample.forcing.shape[1] if sample.forcing is not None else 0
     return build_model(
         cfg["models"],
-        num_node_features=sample.x_static.shape[1] + sample.x_dynamic.shape[1],
+        num_node_features=(sample.x_static.shape[1] + n_forcing
+                           + sample.x_dynamic.shape[1]),
         num_edge_features=sample.edge_attr.shape[1],
         num_scales=sample.spec.num_scales,
         previous_t=tdp["previous_t"])

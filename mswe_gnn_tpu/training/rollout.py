@@ -63,6 +63,22 @@ def inject_bc(x_dynamic: jax.Array, graph: FloodGraph, window: jax.Array) -> jax
     return x.reshape(n, p * NUM_WATER_VARS)
 
 
+def with_step_forcing(graph: FloodGraph, step: jax.Array) -> FloodGraph:
+    """Append the current-time exogenous forcing to the static features.
+
+    ``graph.forcing [N, Ff, previous_t + T]`` shares the BC series' dry-bed
+    column alignment, so the forcing seen at rollout ``step`` is column
+    ``step + previous_t - 1`` (the reference feeds WX/WY/P at the input time,
+    reference utils/adforce_dataset.py:243-260). No-op without forcing.
+    """
+    if graph.forcing is None:
+        return graph
+    cur = jax.lax.dynamic_slice_in_dim(
+        graph.forcing, step + graph.previous_t - 1, 1, axis=2)[:, :, 0]
+    return graph.replace(
+        x_static=jnp.concatenate([graph.x_static, cur], axis=1))
+
+
 def shift_prediction(x_dynamic: jax.Array, pred: jax.Array, previous_t: int) -> jax.Array:
     """Drop the oldest input step, append the prediction
     (reference utils/dataset.py:508-529)."""
@@ -85,7 +101,8 @@ def rollout(
     """
     def step_fn(x_dyn, t):
         x_dyn = inject_bc(x_dyn, graph, bc_window(graph, t))
-        pred = apply_fn(params, cfg, graph.replace(x_dynamic=x_dyn))
+        gt = with_step_forcing(graph, t).replace(x_dynamic=x_dyn)
+        pred = apply_fn(params, cfg, gt)
         x_next = shift_prediction(x_dyn, pred, graph.previous_t)
         return x_next, pred
 

@@ -30,6 +30,7 @@ from mswe_gnn_tpu.training.rollout import (
     rollout,
     rollout_batch,
     shift_prediction,
+    with_step_forcing,
 )
 from mswe_gnn_tpu.utils.metrics import get_csi, get_rollout_loss
 
@@ -208,7 +209,7 @@ def pushforward_loss(
     def per_graph(g: FloodGraph):
         def step_fn(x_dyn, t):
             x_dyn = inject_bc(x_dyn, g, bc_window(g, t))
-            gt = g.replace(x_dynamic=x_dyn)
+            gt = with_step_forcing(g, t).replace(x_dynamic=x_dyn)
             pred = fwd(params, gt)
             target = jax.lax.dynamic_index_in_dim(g.y, t, axis=-1, keepdims=False)
             sums, count, cons = loss_lib.step_loss_sums(
