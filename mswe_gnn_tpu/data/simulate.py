@@ -14,11 +14,17 @@ Physics (explicit diffusive-wave / Manning approximation):
 with upwind depth h_up = h of the higher-WL cell. Inflow Q enters at the
 BC faces from a random Weibull-shaped hydrograph (reference
 dhydro_utils.py:152-194).
+
+Optional storm forcing (the physics behind the reference's storm-surge
+extension, reference utils/adforce_dataset.py): a pressure anomaly P [Pa]
+enters through the inverse-barometer effective level WL + P/(rho g), and a
+surface wind stress tau [N/m^2] tilts the water surface by the steady wind
+setup balance, adding tau·u_hat / (rho g h) to the edge slope.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 
@@ -72,6 +78,10 @@ class Simulation:
     dt_minutes: float
 
 
+RHO_WATER = 1000.0   # kg/m^3
+GRAVITY = 9.81       # m/s^2
+
+
 def run_diffusive_wave(
     mesh: Mesh,
     bc_faces: np.ndarray,
@@ -79,8 +89,17 @@ def run_diffusive_wave(
     dt_minutes: float = 60.0,
     substeps: int = 60,
     conveyance: float = 8.0,
+    wind: Optional[np.ndarray] = None,      # [F, 2, T] surface stress [N/m^2]
+    pressure: Optional[np.ndarray] = None,  # [F, T] pressure anomaly [Pa]
+    min_wind_depth: float = 0.05,           # [m] depth floor in the setup term
+    h0: Optional[np.ndarray] = None,        # [F] initial depth (default dry)
 ) -> Simulation:
-    """Explicit diffusive-wave solve; outputs sampled every ``dt_minutes``."""
+    """Explicit diffusive-wave solve; outputs sampled every ``dt_minutes``.
+
+    ``wind``/``pressure`` are exogenous storm fields held constant within each
+    output interval. Wind adds momentum through the water surface (setup
+    slope tau/(rho g h)); pressure shifts the effective level (inverse
+    barometer). Neither adds or removes mass."""
     F = mesh.num_faces
     T = len(hydrograph)
     src, dst = mesh.dual_edge_index
@@ -95,7 +114,7 @@ def run_diffusive_wave(
     s1, d1, w1, l1 = src[keep], dst[keep], w[keep], dist[keep]
     u1 = rel[keep]
 
-    h = np.zeros(F)
+    h = np.zeros(F) if h0 is None else np.asarray(h0, float).copy()
     wd = np.zeros((F, T))
     vx = np.zeros((F, T))
     vy = np.zeros((F, T))
@@ -106,9 +125,21 @@ def run_diffusive_wave(
         q_in = hydrograph[t] / max(len(bc_faces), 1)
         mom_x = np.zeros(F)
         mom_y = np.zeros(F)
+        # inverse-barometer level offset and along-edge wind stress for this
+        # output interval (exogenous fields are piecewise-constant in t)
+        p_level = pressure[:, t] / (RHO_WATER * GRAVITY) if pressure is not None else 0.0
+        if wind is not None:
+            tau_edge = 0.5 * (wind[s1, :, t] + wind[d1, :, t])   # [E1, 2]
+            tau_along = (tau_edge * u1).sum(axis=1)              # src->dst comp.
         for _ in range(substeps):
-            wl = dem + h
+            wl = dem + h + p_level
             grad = (wl[s1] - wl[d1]) / l1
+            if wind is not None:
+                # steady wind-setup balance: rho g h dWL/dx = tau. The wetter
+                # endpoint sets the effective depth; dry walls feel no wind
+                # (their conveyance h_up^(5/3) is 0 anyway).
+                h_e = np.maximum(np.maximum(h[s1], h[d1]), min_wind_depth)
+                grad = grad + tau_along / (RHO_WATER * GRAVITY * h_e)
             h_up = np.where(grad > 0, h[s1], h[d1])
             flux = conveyance * w1 * np.power(np.maximum(h_up, 0.0), 5.0 / 3.0) * grad
             # stability: never move more water than the upwind cell holds

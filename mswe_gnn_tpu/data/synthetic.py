@@ -94,11 +94,21 @@ def generate_simulation_record(
     peak_discharge: float = 150.0,
     substeps: int = 20,
     mesh_type: str = "grid",
+    storm: bool = False,
+    storm_wind_scale: float = 2.0,
+    storm_pressure_scale: float = 1500.0,
 ) -> SimulationRecord:
     """One full synthetic simulation on a multiscale mesh.
 
     ``mesh_type``: 'grid' (regular quad cells) or 'triangulated' (random
     irregular polygon + Delaunay hierarchy).
+
+    ``storm=True`` generates a translating cyclone (wind stress + pressure
+    anomaly) that DRIVES the solver — wind setup and inverse barometer — and
+    records the fields on ``SimulationRecord.forcing`` so the model can learn
+    the forcing response (reference's storm-surge extension,
+    utils/adforce_dataset.py). Defaults are storm-magnitude: ~2 N/m^2 peak
+    stress (~30 m/s wind) and 15 hPa pressure low.
     """
     import time as _time
 
@@ -120,9 +130,17 @@ def generate_simulation_record(
                               peak_discharge=peak_discharge)
     # simulate on the physical (non-ghost) cells of the finest mesh
     phys = _strip_ghosts(finest, len(ghosts.ghost_nodes))
+    fields = None
+    if storm:
+        fields = make_storm_fields(phys.face_xy, len(hydro), rng,
+                                   wind_scale=storm_wind_scale,
+                                   pressure_scale=storm_pressure_scale)
     t0 = _time.time()
-    sim = run_diffusive_wave(phys, ghosts.bc_faces, hydro,
-                             dt_minutes=temporal_res, substeps=substeps)
+    sim = run_diffusive_wave(
+        phys, ghosts.bc_faces, hydro,
+        dt_minutes=temporal_res, substeps=substeps,
+        wind=fields[:, :2] if fields is not None else None,
+        pressure=fields[:, 2] if fields is not None else None)
     solver_seconds = _time.time() - t0
 
     # ghost rows mirror their BC face (reference graph_creation.py:1466-1481)
@@ -141,37 +159,38 @@ def generate_simulation_record(
     per_ghost = hydro[None, :] / max(len(ghosts.ghost_nodes), 1)
     bc_per_length = per_ghost / ghosts.edge_bc_length[:, None]
 
+    forcing, forcing_names = None, ()
+    if storm:
+        f0 = with_ghosts(fields)                       # [N0, 3, T]
+        forcing = np.stack([pool_to_scales(f0[:, f], mesh) for f in range(3)],
+                           axis=1).astype(np.float32)
+        forcing_names = ("WX", "WY", "P")
+
     return SimulationRecord(mesh=mesh, wd=wd, vx=vx, vy=vy,
                             bc_per_length=bc_per_length,
                             temporal_res=temporal_res,
-                            solver_seconds=solver_seconds)
+                            solver_seconds=solver_seconds,
+                            forcing=forcing, forcing_names=forcing_names)
 
 
 def generate_dataset(n_sims: int, seed: int = 0, **kwargs) -> List[SimulationRecord]:
     return [generate_simulation_record(seed + i, **kwargs) for i in range(n_sims)]
 
 
-def add_storm_forcing(rec: SimulationRecord, seed: int = 0,
+def make_storm_fields(xy: np.ndarray, T: int, rng: np.random.Generator,
                       wind_scale: float = 0.5,
-                      pressure_scale: float = 500.0) -> SimulationRecord:
-    """Attach synthetic storm forcing fields (WX, WY wind stress and P
-    pressure anomaly) to a record — the exogenous inputs of the reference's
-    storm-surge extension (reference utils/adforce_dataset.py:80, 243-260).
+                      pressure_scale: float = 500.0) -> np.ndarray:
+    """Translating smooth cyclone -> [N, 3, T] (WX, WY wind stress [N/m^2],
+    P pressure anomaly [Pa]) at the points ``xy`` — the exogenous fields of
+    the reference's storm-surge extension
+    (reference utils/adforce_dataset.py:80, 243-260).
 
-    The fields are a translating smooth vortex: spatially coherent (Gaussian
-    envelope around a moving center) and temporally smooth, pooled onto every
-    mesh scale like the water variables.
+    Spatially coherent (Gaussian envelope around a moving center, cyclonic
+    tangential wind) and temporally smooth (straight-line track across the
+    domain over the simulation).
     """
-    import dataclasses
-
-    rng = np.random.default_rng(seed)
-    mesh = rec.mesh
-    finest = mesh.meshes[0]
-    xy = finest.face_xy  # [N0, 2] incl. ghost rows (mirrored BC faces)
-    T = rec.wd.shape[1]
     lo, hi = xy.min(axis=0), xy.max(axis=0)
     extent = float(np.max(hi - lo))
-    # storm track: straight line across the domain over the simulation
     p0 = lo + rng.uniform(0.1, 0.4, 2) * (hi - lo)
     p1 = lo + rng.uniform(0.6, 0.9, 2) * (hi - lo)
     radius = extent * rng.uniform(0.2, 0.35)
@@ -185,6 +204,24 @@ def add_storm_forcing(rec: SimulationRecord, seed: int = 0,
         fields[:, 0, t] = wind_scale * envelope * (-d[:, 1] / radius)
         fields[:, 1, t] = wind_scale * envelope * (d[:, 0] / radius)
         fields[:, 2, t] = -pressure_scale * envelope
+    return fields
+
+
+def add_storm_forcing(rec: SimulationRecord, seed: int = 0,
+                      wind_scale: float = 0.5,
+                      pressure_scale: float = 500.0) -> SimulationRecord:
+    """Attach synthetic storm forcing fields to an existing record (input
+    features only — the recorded water dynamics are unchanged). For storms
+    that actually DRIVE the solver, use
+    ``generate_simulation_record(storm=True)``."""
+    import dataclasses
+
+    rng = np.random.default_rng(seed)
+    mesh = rec.mesh
+    xy = mesh.meshes[0].face_xy  # [N0, 2] incl. ghost rows (mirrored BC faces)
+    fields = make_storm_fields(xy, rec.wd.shape[1], rng,
+                               wind_scale=wind_scale,
+                               pressure_scale=pressure_scale)
     pooled = np.stack([pool_to_scales(fields[:, f], mesh)
                        for f in range(3)], axis=1).astype(np.float32)
     return dataclasses.replace(rec, forcing=pooled,

@@ -57,13 +57,11 @@ def _generate_cached(sd: Dict, temporal_res: float):
         dx=sd.get("dx", 100.0), num_scales=sd["num_scales"],
         total_hours=sd["total_hours"], temporal_res=temporal_res,
         n_bc=sd.get("n_bc", 2), substeps=sd.get("substeps", 20),
-        mesh_type=sd.get("mesh_type", "grid"))
-    if sd.get("storm_forcing"):
-        # exogenous wind/pressure fields (reference's storm-surge extension,
-        # reference utils/adforce_dataset.py); part of the cache key via sd
-        from mswe_gnn_tpu.data.synthetic import add_storm_forcing
-        records = [add_storm_forcing(r, seed=sd.get("seed", 0) + 7000 + i)
-                   for i, r in enumerate(records)]
+        mesh_type=sd.get("mesh_type", "grid"),
+        # solver-driving storm forcing (wind setup + inverse barometer);
+        # fields land on record.forcing as model inputs. Part of the cache
+        # key via sd. (Reference's storm-surge extension, utils/adforce_dataset.py)
+        storm=bool(sd.get("storm_forcing", False)))
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + ".tmp"
     save_records(tmp, records)

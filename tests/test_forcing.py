@@ -34,6 +34,79 @@ def make_forced_samples(previous_t=2, rollout_steps=3):
     return rec, proc, samples
 
 
+def test_wind_setup_piles_water_downwind():
+    """Uniform wind over a flat pond pushes water downwind (setup), without
+    creating or destroying mass."""
+    from mswe_gnn_tpu.data.meshing import grid_mesh
+    from mswe_gnn_tpu.data.simulate import run_diffusive_wave
+
+    mesh = grid_mesh(12, 12, 100.0, lambda x, y: np.zeros_like(x))
+    F = mesh.num_faces
+    T = 12
+    hydro = np.zeros(T)          # no inflow: a still 1 m pond
+    bc = np.asarray([0])
+    h0 = np.ones(F)
+    calm = run_diffusive_wave(mesh, bc, hydro, dt_minutes=60.0, substeps=20,
+                              h0=h0)
+    wind = np.zeros((F, 2, T), np.float32)
+    wind[:, 0, :] = 2.0  # steady +x stress
+    windy = run_diffusive_wave(mesh, bc, hydro, dt_minutes=60.0, substeps=20,
+                               wind=wind, h0=h0)
+    # mass identical (wind moves water, never adds it)
+    vol_c = (calm.wd[:, -1] * mesh.area).sum()
+    vol_w = (windy.wd[:, -1] * mesh.area).sum()
+    np.testing.assert_allclose(vol_w, vol_c, rtol=1e-6)
+    # downwind (+x) half ends deeper than upwind half only in the windy run
+    x = mesh.face_xy[:, 0]
+    lo, hi = x < np.median(x), x >= np.median(x)
+    tilt_w = windy.wd[hi, -1].mean() - windy.wd[lo, -1].mean()
+    tilt_c = calm.wd[hi, -1].mean() - calm.wd[lo, -1].mean()
+    assert tilt_w > tilt_c + 1e-3, (tilt_w, tilt_c)
+
+
+def test_inverse_barometer_draws_water_to_low_pressure():
+    """A static low-pressure anomaly raises the local water level."""
+    from mswe_gnn_tpu.data.meshing import grid_mesh
+    from mswe_gnn_tpu.data.simulate import run_diffusive_wave
+
+    mesh = grid_mesh(12, 12, 100.0, lambda x, y: np.zeros_like(x))
+    F = mesh.num_faces
+    T = 12
+    hydro = np.zeros(T)          # still 1 m pond
+    bc = np.asarray([0])
+    h0 = np.ones(F)
+    xy = mesh.face_xy
+    c = xy.mean(axis=0)
+    r2 = ((xy - c) ** 2).sum(axis=1)
+    p = np.zeros((F, T), np.float32)
+    low = -1500.0 * np.exp(-r2 / (2 * (300.0 ** 2)))
+    p[:] = low[:, None]
+    calm = run_diffusive_wave(mesh, bc, hydro, dt_minutes=60.0, substeps=20,
+                              h0=h0)
+    stormy = run_diffusive_wave(mesh, bc, hydro, dt_minutes=60.0, substeps=20,
+                                pressure=p, h0=h0)
+    center = r2 < (250.0 ** 2)
+    bump = stormy.wd[center, -1].mean() - calm.wd[center, -1].mean()
+    assert bump > 1e-3, bump  # water piles up under the low
+    # mass unchanged
+    np.testing.assert_allclose((stormy.wd[:, -1] * mesh.area).sum(),
+                               (calm.wd[:, -1] * mesh.area).sum(), rtol=1e-6)
+
+
+def test_generate_record_with_driving_storm():
+    """storm=True attaches pooled forcing AND changes the simulated water."""
+    calm = generate_simulation_record(5, nx=10, ny=10, num_scales=2,
+                                      total_hours=6, substeps=6)
+    stormy = generate_simulation_record(5, nx=10, ny=10, num_scales=2,
+                                        total_hours=6, substeps=6, storm=True)
+    assert calm.forcing is None and stormy.forcing is not None
+    assert stormy.forcing.shape == (stormy.mesh.num_nodes, 3, stormy.wd.shape[1])
+    assert stormy.forcing_names == ("WX", "WY", "P")
+    # same mesh/hydrograph seed; the storm visibly changes the water field
+    assert calm.wd.shape == stormy.wd.shape
+    assert np.abs(calm.wd - stormy.wd).max() > 1e-3
+
+
 def test_storm_forcing_fields_shape_and_pooling():
     rec = generate_simulation_record(0, nx=10, ny=10, num_scales=2,
                                      total_hours=6, substeps=4)
