@@ -56,6 +56,13 @@ class TrainerOptions:
     seed: int = 42
     remat: bool = False   # rematerialize the forward in the rollout scan
                           # (trade FLOPs for activation memory on big meshes)
+    # divergence guard: if an epoch's train loss exceeds this factor times
+    # the recent-epoch median (or goes non-finite), restore the best-val
+    # params and reset the optimizer moments instead of training onward from
+    # a blown-up state (observed at pushforward-curriculum transitions:
+    # one bad autoregressive batch can undo ~100 epochs). 0 disables.
+    spike_rollback_factor: float = 10.0
+    spike_window: int = 8
 
 
 def make_optimizer(opts: TrainerOptions, steps_per_epoch: int):
@@ -364,12 +371,52 @@ class Trainer:
         self.best_params = params
         self.best_val_loss = float("inf")
         self.best_val_csi = -float("inf")
+        self._recent_losses: List[float] = []
         self.start_epoch = 0
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.curriculum = CurriculumController(opts, mode=curriculum_mode)
         assert batch_layout in ("concat", "vmap"), batch_layout
         self.batch_layout = batch_layout
+
+    def _maybe_rollback(self, train_loss: float) -> bool:
+        """Divergence guard: on a loss spike (>= factor x recent median) or a
+        non-finite loss, restore the best-validation params. Returns True
+        when a rollback happened.
+
+        Motivation: in pushforward training one divergent autoregressive
+        batch can produce gradients that (even clipped) knock the model off a
+        good optimum — observed as a 15x train-loss jump right after a
+        curriculum rollout-length increase, costing ~0.5 CSI. The reference
+        has no such guard; its best-checkpoint reload only rescues the final
+        artifact, not the remaining training epochs.
+
+        The optimizer state is kept on purpose: re-initializing it would
+        rewind the LR schedule to its full initial rate, and the spike-
+        inflated Adam second moment usefully damps the first steps after the
+        restore.
+        """
+        factor = self.opts.spike_rollback_factor
+        triggered = False
+        if factor and np.isfinite(train_loss):
+            recent = self._recent_losses[-self.opts.spike_window:]
+            if len(recent) >= 3:
+                ref = float(np.median(recent))
+                triggered = train_loss > factor * max(ref, 1e-12)
+        elif factor and not np.isfinite(train_loss):
+            triggered = True
+        if triggered and self.best_val_loss < float("inf"):
+            self.params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), self.best_params)
+            if self.mesh is not None:
+                from mswe_gnn_tpu.parallel.sharding import replicate
+
+                self.params = replicate(self.params, self.mesh)
+            self._recent_losses.clear()
+            return True
+        if np.isfinite(train_loss):
+            self._recent_losses.append(train_loss)
+        return False
 
     def save(self, path: str, epoch: int) -> None:
         """Periodic checkpoint for crash recovery (params + opt state)."""
@@ -434,6 +481,8 @@ class Trainer:
             self.curriculum.on_epoch_end(train_loss)
             record = {"epoch": epoch, "rollout_steps": rollout_steps,
                       "train_loss": train_loss, "epoch_time": time.time() - t0}
+            if self._maybe_rollback(train_loss):
+                record["spike_rollback"] = 1
 
             if self.val_graphs and (epoch % val_every == 0 or epoch == max_epochs - 1):
                 metrics = self.validate()

@@ -148,3 +148,46 @@ def test_trainer_fit_smoke():
     hist = tr.fit(max_epochs=2)
     assert len(hist) == 2
     assert "val_loss" in hist[-1]
+
+
+def test_spike_rollback_restores_best_params():
+    """The divergence guard restores best-val params on a loss spike or a
+    non-finite loss, and stays quiet on normal fluctuations."""
+    samples, _ = make_samples(rollout=2)
+    g = samples[0]
+    cfg, params = make_model(g, K=1, hid=8)
+    opts = TrainerOptions(batch_size=2, spike_rollback_factor=10.0,
+                          spike_window=4)
+    tr = Trainer(apply_msgnn, cfg, params, opts, samples[:2], samples[:1])
+    golden = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                    tr.params)
+    tr.best_params = golden
+    tr.best_val_loss = 0.5  # a validation has happened
+
+    # normal epochs: no rollback
+    for loss in (0.10, 0.11, 0.09, 0.12):
+        assert not tr._maybe_rollback(loss)
+    # corrupt live params, then spike
+    tr.params = jax.tree_util.tree_map(lambda x: x + 100.0, tr.params)
+    assert tr._maybe_rollback(5.0)  # > 10x median(0.09..0.12)
+    for a, b in zip(jax.tree_util.tree_leaves(tr.params),
+                    jax.tree_util.tree_leaves(golden)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # non-finite loss triggers regardless of history
+    tr.params = jax.tree_util.tree_map(lambda x: x + 100.0, tr.params)
+    assert tr._maybe_rollback(float("nan"))
+    for a, b in zip(jax.tree_util.tree_leaves(tr.params),
+                    jax.tree_util.tree_leaves(golden)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # guard disabled -> never triggers
+    tr.opts = TrainerOptions(spike_rollback_factor=0.0)
+    for loss in (0.1, 0.1, 0.1, 50.0, float("nan")):
+        assert not tr._maybe_rollback(loss)
+
+    # no validation yet (no best params) -> no rollback on spike
+    tr2 = Trainer(apply_msgnn, cfg, params, opts, samples[:2], samples[:1])
+    for loss in (0.1, 0.1, 0.1):
+        tr2._maybe_rollback(loss)
+    assert not tr2._maybe_rollback(99.0)
