@@ -159,7 +159,8 @@ def apply_gnn(params: dict, cfg: GNNConfig, graph: FloodGraph) -> jax.Array:
     edge_attr = graph.edge_attr
     emask = graph.edge_mask
 
-    if cfg.type_gnn == "SWEGNN" and cfg.edge_mlp:
+    cache = graph.ell_cache  # loop-invariant tables/encodings (models/prepare.py)
+    if cfg.type_gnn == "SWEGNN" and cfg.edge_mlp and cache is None:
         edge_attr = apply_mlp(params["edge_encoder"], edge_attr,
                               activation=cfg.mlp_activation)
 
@@ -175,10 +176,17 @@ def apply_gnn(params: dict, cfg: GNNConfig, graph: FloodGraph) -> jax.Array:
 
     for conv in params["gnn_processor"]:
         if cfg.type_gnn == "SWEGNN":
-            h = apply_swegnn(conv, cfg.swegnn_cfg(), x_s, x_d, src, dst,
-                             edge_attr=edge_attr, edge_mask=emask,
-                             agg_table=graph.in_edge_table,
-                             agg_mask=graph.in_edge_mask)
+            if cache is not None:
+                tab, tmask, srcs, easl = cache["scales"][0]
+                h = apply_swegnn(conv, cfg.swegnn_cfg(), x_s, x_d, src, dst,
+                                 edge_mask=emask, agg_table=tab,
+                                 agg_mask=tmask, ea_slots=list(easl),
+                                 src_slot_table=srcs)
+            else:
+                h = apply_swegnn(conv, cfg.swegnn_cfg(), x_s, x_d, src, dst,
+                                 edge_attr=edge_attr, edge_mask=emask,
+                                 agg_table=graph.in_edge_table,
+                                 agg_mask=graph.in_edge_mask)
         elif cfg.type_gnn == "GNN_L":
             h = apply_cheb(conv, ChebConfig(cfg.hid_features, cfg.hid_features, cfg.K),
                            h, src, dst, emask)

@@ -161,7 +161,7 @@ def init_msgnn(key, cfg: MSGNNConfig) -> dict:
 
 def _pool_block(params, cfg: MSGNNConfig, x_fine, coarse_feats, fine_local,
                 coarse_local, intra_mask, n_coarse,
-                pool_table=None, pool_mask=None):
+                pool_table=None, pool_mask=None, pool_src=None):
     """Mean-pool fine-block features onto the coarse block over transfer edges
     (reference models/gnn.py:242-257). Nodes that receive nothing become zero.
 
@@ -174,6 +174,15 @@ def _pool_block(params, cfg: MSGNNConfig, x_fine, coarse_feats, fine_local,
             [jnp.take(x_fine, fine_local, axis=0),
              jnp.take(coarse_feats, coarse_local, axis=0)], -1)
         src_vals = apply_mlp(params["pooling_mlp"], e, activation=cfg.mlp_activation)
+    elif pool_src is not None:
+        # prepared path: slot source-node ids gather straight from the fine
+        # block — no [E_tr, F] edge-major intermediate gather
+        sums = jnp.zeros((pool_src.shape[0], x_fine.shape[1]), x_fine.dtype)
+        for d in range(pool_src.shape[1]):
+            sums = sums + (jnp.take(x_fine, pool_src[:, d], axis=0)
+                           * pool_mask[:, d:d + 1])
+        cnt = pool_mask.sum(axis=1)
+        return jnp.where(cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
     else:
         src_vals = jnp.take(x_fine, fine_local, axis=0)
     if pool_table is not None:
@@ -208,8 +217,9 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
 
     x = jnp.concatenate([graph.x_static, graph.x_dynamic], axis=-1)
     x0 = x
+    cache = graph.ell_cache  # loop-invariant tables/encodings (models/prepare.py)
     edge_attr = graph.edge_attr
-    if cfg.edge_mlp:
+    if cfg.edge_mlp and cache is None:
         edge_attr = apply_mlp(params["edge_encoder"], edge_attr,
                               activation=cfg.mlp_activation)
 
@@ -246,17 +256,21 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
 
     def scale_agg(i):
         """ELL table rows for scale i (edge ids rebased to the scale block)
-        plus the slot-gathered encoded edge attrs — computed once per scale
+        plus the slot-gathered encoded edge attrs and slot source-node ids —
+        read from the prepared cache (rollouts), else computed once per scale
         per forward and shared by the scale's two processor layers."""
         if not has_tables:
-            return None, None, None
+            return None, None, None, None
+        if cache is not None:
+            tab, msk, srcs, ea_slots = cache["scales"][i]
+            return tab, msk, list(ea_slots), srcs
         if i not in _agg_cache:
             nsl = spec.node_slice(i)
             tab = jnp.maximum(graph.in_edge_table[nsl] - edge_ptr[i], 0)
             ea = edge_attr[spec.edge_slice(i)]
             ea_slots = [jnp.take(ea, tab[:, d], axis=0)
                         for d in range(tab.shape[1])]
-            _agg_cache[i] = (tab, graph.in_edge_mask[nsl], ea_slots)
+            _agg_cache[i] = (tab, graph.in_edge_mask[nsl], ea_slots, None)
         return _agg_cache[i]
 
     def intra_edges(lvl):
@@ -270,7 +284,7 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
     # --- downsweep: fine -> coarse, skipping the coarsest scale
     for i in range(L - 1):
         src, dst, ea, em = scale_edges(i)
-        tab, tmask, easl = scale_agg(i)
+        tab, tmask, easl, srcs = scale_agg(i)
         pcfg = cfg.processor_cfg(ks[i])
         proc = params["gnn_processor"][i]
         xd_b[i] = apply_swegnn_block(proc, pcfg,
@@ -278,7 +292,7 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
                                      src, dst, edge_attr=ea, edge_mask=em,
                                      same_block=True,
                                      agg_table=tab, agg_mask=tmask,
-                                     ea_slots=easl)
+                                     ea_slots=easl, src_slot_table=srcs)
         x_down_b[i] = xd_b[i]
         coarse, fine, imask = intra_edges(i)
         if cfg.learned_pooling:
@@ -289,7 +303,11 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
                 coarse_feats = apply_linear(proc["filters"][0], coarse_feats)
         else:
             coarse_feats = None
-        if has_tables:
+        psrc = None
+        if cache is not None:
+            psrc, pmask = cache["pools"][i]
+            ptab = None
+        elif has_tables:
             csl = spec.node_slice(i + 1)
             ptab = jnp.maximum(graph.pool_table[csl] - intra_ptr[i], 0)
             pmask = graph.pool_mask[csl]
@@ -297,7 +315,8 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
             ptab = pmask = None
         pooled = _pool_block(params, cfg, xd_b[i], coarse_feats, fine, coarse,
                              imask, n_coarse=xd_b[i + 1].shape[0],
-                             pool_table=ptab, pool_mask=pmask)
+                             pool_table=ptab, pool_mask=pmask,
+                             pool_src=psrc)
         # pooling replaces the state: every non-coarse scale becomes zero
         for j in range(L):
             xd_b[j] = zeros_b[j]
@@ -310,7 +329,7 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
         scale = L - 1 - i
         gnn_id = L - 1 + i
         src, dst, ea, em = scale_edges(scale)
-        tab, tmask, easl = scale_agg(scale)
+        tab, tmask, easl, srcs = scale_agg(scale)
         xd_b[scale] = apply_swegnn_block(params["gnn_processor"][gnn_id],
                                          cfg.processor_cfg(ks[gnn_id]),
                                          xs_b[scale], xd_b[scale],
@@ -318,13 +337,16 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
                                          src, dst, edge_attr=ea, edge_mask=em,
                                          same_block=True,
                                          agg_table=tab, agg_mask=tmask,
-                                         ea_slots=easl)
+                                         ea_slots=easl, src_slot_table=srcs)
         x_up_b[scale] = xd_b[scale]
 
         if i < L - 1:
             lvl = scale - 1  # transfer level between scales lvl (fine) and scale
             coarse, fine, imask = intra_edges(lvl)
-            if has_tables:
+            usrc = None
+            if cache is not None:
+                utab, umask, usrc = cache["unpools"][lvl]
+            elif has_tables:
                 fsl_ = spec.node_slice(lvl)
                 utab = jnp.maximum(graph.unpool_table[fsl_] - intra_ptr[lvl], 0)
                 umask = graph.unpool_mask[fsl_]
@@ -338,7 +360,8 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
                                            coarse, fine, edge_attr=None,
                                            edge_mask=imask, same_block=False,
                                            dst_sorted=False,
-                                           agg_table=utab, agg_mask=umask)
+                                           agg_table=utab, agg_mask=umask,
+                                           src_slot_table=usrc)
             if cfg.skip_connections:
                 xd_b[lvl] = xd_b[lvl] + x_down_b[lvl]
 

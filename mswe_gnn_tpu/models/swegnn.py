@@ -223,6 +223,7 @@ def apply_swegnn_block(
     agg_table: Optional[jax.Array] = None,
     agg_mask: Optional[jax.Array] = None,
     ea_slots=None,
+    src_slot_table: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One SWEGNN layer on block-local arrays -> updated dst block [Nd, F].
 
@@ -258,7 +259,12 @@ def apply_swegnn_block(
         # another ~15% from the slot-major flux on v5e at dk15 scale.)
         d_max = agg_table.shape[1]
         fe = cfg.edge_features
-        src_slots = [jnp.take(src, agg_table[:, d]) for d in range(d_max)]
+        if src_slot_table is not None:
+            # loop-invariant slot sources precomputed once per rollout
+            # (models/prepare.py) — a column slice, not a per-step gather
+            src_slots = [src_slot_table[:, d] for d in range(d_max)]
+        else:
+            src_slots = [jnp.take(src, agg_table[:, d]) for d in range(d_max)]
         if ea_slots is None and fe > 0:
             ea_slots = [jnp.take(edge_attr, agg_table[:, d], axis=0)
                         for d in range(d_max)]
@@ -360,6 +366,8 @@ def apply_swegnn(
     dst_sorted: bool = True,
     agg_table: Optional[jax.Array] = None,
     agg_mask: Optional[jax.Array] = None,
+    ea_slots=None,
+    src_slot_table: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Whole-graph SWEGNN layer: K hops of learned-flux message passing.
 
@@ -383,7 +391,8 @@ def apply_swegnn(
         src if slo == 0 else src - slo,
         dst if lo == 0 else dst - lo,
         edge_attr=edge_attr, edge_mask=edge_mask, same_block=same,
-        dst_sorted=dst_sorted, agg_table=agg_table, agg_mask=agg_mask)
+        dst_sorted=dst_sorted, agg_table=agg_table, agg_mask=agg_mask,
+        ea_slots=ea_slots, src_slot_table=src_slot_table)
 
     if dst_range is None:
         return block

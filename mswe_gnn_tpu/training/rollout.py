@@ -99,6 +99,11 @@ def rollout(
     Equivalent to the reference ``rollout_test`` (training/train.py:67-95) but
     compiled as one scan; the dynamic carry buffer is donated by XLA.
     """
+    from mswe_gnn_tpu.models import prepare_graph
+
+    # hoist loop-invariant tables/encodings out of the scan (models/prepare.py)
+    graph = prepare_graph(params, cfg, graph)
+
     def step_fn(x_dyn, t):
         x_dyn = inject_bc(x_dyn, graph, bc_window(graph, t))
         gt = with_step_forcing(graph, t).replace(x_dynamic=x_dyn)

@@ -214,6 +214,11 @@ def pushforward_loss(
            if opts.remat else (lambda p, gt: apply_fn(p, cfg, gt)))
 
     def per_graph(g: FloodGraph):
+        from mswe_gnn_tpu.models import prepare_graph
+
+        # hoist loop-invariant tables/encodings out of the pushforward scan
+        g = prepare_graph(params, cfg, g)
+
         def step_fn(x_dyn, t):
             x_dyn = inject_bc(x_dyn, g, bc_window(g, t))
             gt = with_step_forcing(g, t).replace(x_dynamic=x_dyn)

@@ -46,6 +46,10 @@ class MetricLogger:
                 csv.DictWriter(f, self._csv_fields).writeheader()
         with open(self.csv_path, "a", newline="") as f:
             csv.DictWriter(f, self._csv_fields, extrasaction="ignore").writerow(rec)
+        # echo to stdout so a live `tail -f` of the run log shows progress
+        # (the reference's Lightning progress output analog)
+        print(json.dumps({k: round(v, 5) if isinstance(v, float) else v
+                          for k, v in metrics.items()}), flush=True)
         if self._wandb is not None:
             self._wandb.log(metrics)
 
