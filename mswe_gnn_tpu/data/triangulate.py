@@ -77,17 +77,21 @@ def point_in_polygon(points: np.ndarray, polygon: np.ndarray) -> np.ndarray:
 
 def triangulate_polygon(polygon: np.ndarray, target_edge: float,
                         dem_fn: Callable, rng: Optional[np.random.Generator] = None,
-                        jitter: float = 0.25) -> Mesh:
+                        jitter: float = 0.25, engine: str = "auto",
+                        smooth_iters: int = 2) -> Mesh:
     """Triangulate the interior of a polygon at a target edge length.
 
     Interior points on a jittered hex-like lattice + equidistant boundary
-    points -> Delaunay -> keep triangles whose centroid is inside. The
+    points; triangulated by the native C++ constrained Delaunay engine
+    (native/delaunay.cpp — the MeshKernel/Triangle replacement, reference
+    graph_creation.py:456-528) with the polygon boundary as hard segments,
+    followed by ``smooth_iters`` rounds of fixed-boundary Laplacian smoothing
+    (the orthogonalization pass) and re-triangulation. Falls back to
+    unconstrained scipy/Qhull Delaunay (``engine='qhull'`` forces it). The
     coarsening hierarchy (reference create_mesh_dhydro refinement,
     graph_creation.py:473-528) is built by calling this with doubled
     ``target_edge`` per level.
     """
-    from scipy.spatial import Delaunay
-
     rng = rng or np.random.default_rng(0)
     lo = polygon.min(0) - target_edge
     hi = polygon.max(0) + target_edge
@@ -99,13 +103,37 @@ def triangulate_polygon(polygon: np.ndarray, target_edge: float,
     pts = pts + rng.uniform(-jitter, jitter, pts.shape) * target_edge
     inner = pts[point_in_polygon(pts, polygon)]
     boundary = equidistant_perimeter(polygon, target_edge)
-    allpts = np.concatenate([boundary, inner], 0)
 
-    tri = Delaunay(allpts)
-    cells = tri.simplices
+    cells = None
+    allpts = None
+    if engine != "qhull":
+        from mswe_gnn_tpu import native
+
+        if native.available():
+            # interior points hugging the boundary make slivers; the native
+            # path drops them (the boundary samples carry that resolution)
+            from scipy.spatial import cKDTree
+
+            d, _ = cKDTree(boundary).query(inner)
+            allpts = np.concatenate([boundary, inner[d > 0.35 * target_edge]], 0)
+            nb = len(boundary)
+            segs = np.stack([np.arange(nb), (np.arange(nb) + 1) % nb], 1)
+            cells = native.cdt_triangulate(allpts, segs)
+            if cells is not None and smooth_iters > 0:
+                fixed = np.zeros(len(allpts), np.uint8)
+                fixed[:nb] = 1
+                allpts = native.laplacian_smooth(allpts, cells, fixed,
+                                                 iters=smooth_iters)
+                cells = native.cdt_triangulate(allpts, segs)
+
+    if cells is None:  # Qhull fallback (or engine='qhull')
+        from scipy.spatial import Delaunay
+
+        allpts = np.concatenate([boundary, inner], 0)
+        cells = Delaunay(allpts).simplices
+
     centroids = allpts[cells].mean(1)
-    keep = point_in_polygon(centroids, polygon)
-    cells = cells[keep]
+    cells = cells[point_in_polygon(centroids, polygon)]
 
     # degenerate-triangle cleanup (near-zero area)
     v = allpts[cells]

@@ -55,6 +55,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bfs_partition.restype = None
     lib.bfs_partition.argtypes = [
         i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.cdt_triangulate.restype = ctypes.c_int64
+    lib.cdt_triangulate.argtypes = [
+        f64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p, ctypes.c_int64]
+    lib.laplacian_smooth.restype = None
+    lib.laplacian_smooth.argtypes = [
+        f64p, ctypes.c_int64, i64p, ctypes.c_int64, u8p, ctypes.c_int64]
+    lib.refine_midpoint.restype = ctypes.c_int64
+    lib.refine_midpoint.argtypes = [
+        f64p, ctypes.c_int64, i64p, ctypes.c_int64, f64p, i64p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
     _lib = lib
     return _lib
 
@@ -133,3 +144,85 @@ def bfs_partition(edge_index: np.ndarray, num_nodes: int, n_parts: int
                     q.append(v)
     block = -(-num_nodes // n_parts)
     return (order // block).astype(np.int32), order
+
+
+def cdt_triangulate(points: np.ndarray,
+                    segments: Optional[np.ndarray] = None
+                    ) -> Optional[np.ndarray]:
+    """Constrained Delaunay triangulation (native/delaunay.cpp): the
+    MeshKernel/Triangle replacement (reference graph_creation.py:456-528).
+    Returns CCW triangles [n_tris, 3], or None when the native library is
+    unavailable or the triangulation fails (callers fall back to Qhull)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    n = len(pts)
+    segs = (np.ascontiguousarray(segments, dtype=np.int64)
+            if segments is not None and len(segments)
+            else np.empty((0, 2), np.int64))
+    cap = 4 * max(n, 4)
+    tris = np.empty((cap, 3), np.int64)
+    m = lib.cdt_triangulate(pts, n, segs.reshape(-1), len(segs),
+                            tris.reshape(-1), cap)
+    if m < 0:
+        warnings.warn(f"cdt_triangulate failed (code {m}); using Qhull fallback")
+        return None
+    return tris[:m].copy()
+
+
+def laplacian_smooth(points: np.ndarray, triangles: np.ndarray,
+                     fixed: np.ndarray, iters: int = 3) -> np.ndarray:
+    """Fixed-boundary Laplacian smoothing (MeshKernel orthogonalization
+    analog). Returns smoothed points; numpy fallback when no native lib."""
+    pts = np.array(points, dtype=np.float64, order="C")
+    tris = np.ascontiguousarray(triangles, dtype=np.int64)
+    fx = np.ascontiguousarray(fixed, dtype=np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.laplacian_smooth(pts, len(pts), tris.reshape(-1), len(tris),
+                             fx, int(iters))
+        return pts
+    # numpy fallback: deduplicated neighbor means
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    deg = np.bincount(src, minlength=len(pts)).astype(np.float64)
+    free = (fx == 0) & (deg > 0)
+    for _ in range(int(iters)):
+        acc = np.zeros_like(pts)
+        np.add.at(acc, src, pts[dst])
+        mean = acc / np.maximum(deg, 1)[:, None]
+        pts[free] = mean[free]
+    return pts
+
+
+def refine_midpoint(points: np.ndarray, triangles: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Red (4-way) midpoint refinement with deduplicated edge midpoints.
+    Returns (new_points, new_triangles); numpy fallback when no native lib."""
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    tris = np.ascontiguousarray(triangles, dtype=np.int64)
+    n, nt = len(pts), len(tris)
+    lib = _load()
+    if lib is not None:
+        pts_out = np.empty((n + 3 * nt, 2), np.float64)
+        tris_out = np.empty((4 * nt, 3), np.int64)
+        np_out = np.zeros(1, np.int64)
+        m = lib.refine_midpoint(pts, n, tris.reshape(-1), nt, pts_out,
+                                tris_out.reshape(-1), np_out)
+        return pts_out[:int(np_out[0])].copy(), tris_out[:m].copy()
+    # numpy fallback
+    e = np.sort(np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]]), axis=1)
+    uniq, inv = np.unique(e, axis=0, return_inverse=True)
+    mid_id = n + np.arange(len(uniq))
+    new_pts = np.concatenate([pts, pts[uniq].mean(1)], 0)
+    ab, bc, ca = (mid_id[inv[:nt]], mid_id[inv[nt:2 * nt]],
+                  mid_id[inv[2 * nt:]])
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    new_tris = np.concatenate([
+        np.stack([a, ab, ca], 1), np.stack([ab, b, bc], 1),
+        np.stack([ca, bc, c], 1), np.stack([ab, bc, ca], 1)], 0)
+    return new_pts, new_tris

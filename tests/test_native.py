@@ -56,3 +56,155 @@ def test_bfs_partition_locality(rng):
     np.testing.assert_array_equal(np.bincount(owner), [n // p] * p)
     cut = (owner[src] != owner[dst]).sum()
     assert cut == 2 * (p - 1)  # both directions of each cut wall
+
+
+def _min_angles(pts, tris):
+    v = pts[tris]
+    out = []
+    for i in range(3):
+        a = v[:, i] - v[:, (i + 1) % 3]
+        b = v[:, i] - v[:, (i + 2) % 3]
+        cos = (a * b).sum(1) / np.maximum(
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-30)
+        out.append(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+    return np.stack(out, 1).min(1)
+
+
+def _edge_set(tris):
+    e = np.sort(np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]]), axis=1)
+    return set(map(tuple, e.tolist()))
+
+
+def test_cdt_matches_qhull_on_random_points(rng):
+    """Unconstrained CDT == scipy/Qhull Delaunay (unique for points in
+    general position) — same triangle set, all CCW."""
+    from scipy.spatial import Delaunay
+
+    pts = rng.random((400, 2)) * 1000
+    tris = native.cdt_triangulate(pts)
+    assert tris is not None
+    ref = Delaunay(pts).simplices
+    canon = lambda t: set(map(tuple, np.sort(t, axis=1).tolist()))
+    assert canon(tris) == canon(ref)
+    v = pts[tris]
+    cross = ((v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+             - (v[:, 1, 1] - v[:, 0, 1]) * (v[:, 2, 0] - v[:, 0, 0]))
+    assert (cross > 0).all()
+
+
+def test_cdt_recovers_constrained_edges(rng):
+    """Every polygon-boundary segment (incl. a dike notch) ends up as a hard
+    triangle edge — the property the reference gets from MeshKernel's
+    polygon-constrained triangulation (graph_creation.py:473-528)."""
+    from mswe_gnn_tpu.data.triangulate import (
+        create_dike, equidistant_perimeter, generate_polygon,
+        point_in_polygon)
+
+    poly = create_dike(generate_polygon(rng, avg_radius=1600.0,
+                                        spikiness=0.4, irregularity=0.6), rng)
+    target = 120.0
+    boundary = equidistant_perimeter(poly, target)
+    nb = len(boundary)
+    inner = rng.uniform(poly.min(0), poly.max(0), (600, 2))
+    inner = inner[point_in_polygon(inner, poly)]
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(boundary).query(inner)
+    pts = np.concatenate([boundary, inner[d > 0.4 * target]], 0)
+    segs = np.stack([np.arange(nb), (np.arange(nb) + 1) % nb], 1)
+    tris = native.cdt_triangulate(pts, segs)
+    assert tris is not None
+    edges = _edge_set(tris)
+    for s in segs:
+        assert tuple(sorted(s.tolist())) in edges
+
+
+def test_laplacian_smooth_improves_quality_and_fixes_boundary(rng):
+    from mswe_gnn_tpu.data.triangulate import (
+        equidistant_perimeter, generate_polygon, point_in_polygon)
+
+    poly = generate_polygon(rng, avg_radius=1000.0)
+    boundary = equidistant_perimeter(poly, 100.0)
+    nb = len(boundary)
+    inner = rng.uniform(poly.min(0), poly.max(0), (400, 2))
+    inner = inner[point_in_polygon(inner, poly)]
+    pts = np.concatenate([boundary, inner], 0)
+    segs = np.stack([np.arange(nb), (np.arange(nb) + 1) % nb], 1)
+    tris = native.cdt_triangulate(pts, segs)
+    keep = point_in_polygon(pts[tris].mean(1), poly)
+    fixed = np.zeros(len(pts), np.uint8)
+    fixed[:nb] = 1
+    sm = native.laplacian_smooth(pts, tris[keep], fixed, iters=3)
+    np.testing.assert_allclose(sm[:nb], pts[:nb])          # boundary pinned
+    assert not np.allclose(sm[nb:], pts[nb:])              # interior moved
+    tris2 = native.cdt_triangulate(sm, segs)
+    keep2 = point_in_polygon(sm[tris2].mean(1), poly)
+    assert _min_angles(sm, tris2[keep2]).mean() > _min_angles(
+        pts, tris[keep]).mean()
+
+
+def test_laplacian_smooth_numpy_fallback_matches_native(rng):
+    pts = rng.random((80, 2)) * 100
+    from scipy.spatial import Delaunay
+
+    tris = Delaunay(pts).simplices.astype(np.int64)
+    fixed = (rng.random(len(pts)) < 0.3).astype(np.uint8)
+    a = native.laplacian_smooth(pts, tris, fixed, iters=2)
+    # force the numpy path by bypassing the lib
+    import mswe_gnn_tpu.native as nat
+
+    lib, nat._lib = nat._lib, None
+    tried, nat._tried = nat._tried, True
+    try:
+        b = native.laplacian_smooth(pts, tris, fixed, iters=2)
+    finally:
+        nat._lib, nat._tried = lib, tried
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_refine_midpoint_properties(rng):
+    from scipy.spatial import Delaunay
+
+    pts = rng.random((60, 2)) * 10
+    tris = Delaunay(pts).simplices.astype(np.int64)
+    rp, rt = native.refine_midpoint(pts, tris)
+    assert len(rt) == 4 * len(tris)
+    # midpoints deduplicated: new point count = n + number of unique edges
+    assert len(rp) == len(pts) + len(_edge_set(tris))
+    area = lambda p, t: 0.5 * np.abs(
+        (p[t[:, 1], 0] - p[t[:, 0], 0]) * (p[t[:, 2], 1] - p[t[:, 0], 1])
+        - (p[t[:, 1], 1] - p[t[:, 0], 1]) * (p[t[:, 2], 0] - p[t[:, 0], 0])
+    ).sum()
+    np.testing.assert_allclose(area(pts, tris), area(rp, rt), rtol=1e-12)
+    # numpy fallback identical (up to triangle order)
+    import mswe_gnn_tpu.native as nat
+
+    lib, nat._lib = nat._lib, None
+    try:
+        rp2, rt2 = native.refine_midpoint(pts, tris)
+    finally:
+        nat._lib = lib
+    assert len(rp2) == len(rp) and len(rt2) == len(rt)
+    np.testing.assert_allclose(area(rp2, rt2), area(rp, rt), rtol=1e-12)
+
+
+def test_triangulate_polygon_native_engine(rng):
+    """The native-engine mesh passes the same structural sanity as the Qhull
+    path and yields a connected dual graph with no boundary-crossing cell."""
+    from mswe_gnn_tpu.data.triangulate import (
+        generate_polygon, point_in_polygon, triangulate_polygon)
+
+    poly = generate_polygon(rng, avg_radius=1200.0)
+    dem = lambda x, y: 0.001 * x + 0.002 * y
+    mesh = triangulate_polygon(poly, 150.0, dem, rng=rng, engine="auto")
+    assert mesh.num_faces > 50
+    assert mesh.dual_edge_index.max() < mesh.num_faces
+    assert (mesh.area > 0).all()
+    assert (mesh.face_distance > 0).all()
+    # every face centroid inside the polygon
+    assert point_in_polygon(mesh.face_xy, poly).all()
+    # dual graph connected (single BFS component)
+    owner, order = native.bfs_partition(mesh.dual_edge_index,
+                                        mesh.num_faces, 1)
+    assert (order >= 0).all() and len(set(order.tolist())) == mesh.num_faces
