@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -204,7 +205,8 @@ def evaluate(apply_fn, model_cfg, params, test: List[FloodGraph],
     return summary
 
 
-def run_training(cfg: Dict, out_dir: str) -> Dict:
+def run_training(cfg: Dict, out_dir: str,
+                 epoch_budget: Optional[int] = None) -> Dict:
     cfg = config_lib.with_defaults(cfg)
     logger = MetricLogger(out_dir, config=cfg)
     train, val, test, scalers, test_records = prepare_data(cfg)
@@ -232,10 +234,25 @@ def run_training(cfg: Dict, out_dir: str) -> Dict:
                  mesh=mesh,
                  batch_layout=cfg["trainer_options"].get("batch_layout",
                                                          "concat"))
-    if os.path.exists(os.path.join(out_dir, "autosave", "meta.json")):
-        resumed = tr.resume(os.path.join(out_dir, "autosave"))
+    autosave_dir = os.path.join(out_dir, "autosave")
+    if os.path.exists(os.path.join(autosave_dir, "meta.json")):
+        resumed = tr.resume(autosave_dir)
         print(f"resumed from epoch {resumed}")
-    tr.fit()
+
+    # Epoch budget: train at most this many epochs in THIS process, autosave,
+    # and signal the supervisor to relaunch (exit 75). Works around the axon
+    # PJRT client leaking host memory on every host<->device transfer
+    # (~1.1 GB/epoch on the accuracy config; 130 GB OOM at epoch ~108):
+    # bounded-lifetime processes + restart-from-autosave keep the run alive.
+    stop_at = (opts.max_epochs if epoch_budget is None
+               else min(opts.max_epochs, tr.start_epoch + epoch_budget))
+    tr.fit(max_epochs=stop_at)
+    reached = (int(tr.history[-1]["epoch"]) + 1) if tr.history else tr.start_epoch
+    tr.save(autosave_dir, reached)
+    if reached >= stop_at and stop_at < opts.max_epochs:
+        print(f"epoch budget exhausted at {reached}/{opts.max_epochs}; "
+              "relaunch to continue")
+        return {"__resume__": True, "epoch": reached}
 
     save_checkpoint(os.path.join(out_dir, "best"), tr.best_params,
                     epoch=len(tr.history), history=tr.history)
@@ -280,11 +297,17 @@ def main(argv=None):
     ap.add_argument("--config", default=None, help="YAML config path")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (eval mode)")
     ap.add_argument("--out", default="runs/latest")
+    ap.add_argument("--epoch-budget", type=int, default=None,
+                    help="max epochs in this process; exits 75 when hit "
+                         "(supervisor relaunches and training resumes "
+                         "from the autosave)")
     args = ap.parse_args(argv)
     cfg = config_lib.read_config(args.config) if args.config else {}
     cfg = config_lib.fix_dotted_keys(cfg)
     if args.mode == "train":
-        run_training(cfg, args.out)
+        result = run_training(cfg, args.out, epoch_budget=args.epoch_budget)
+        if result.get("__resume__"):
+            sys.exit(75)
     else:
         assert args.ckpt, "--ckpt required for eval"
         run_eval(cfg, args.ckpt, args.out)

@@ -20,7 +20,8 @@ def _to_numpy_tree(tree):
 
 
 def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
-                    history: Optional[list] = None) -> None:
+                    history: Optional[list] = None,
+                    extra: Optional[Dict] = None) -> None:
     """Write a checkpoint directory (orbax if available, npz fallback)."""
     os.makedirs(path, exist_ok=True)
     try:
@@ -38,7 +39,8 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
         np.savez(os.path.join(path, "params.npz"),
                  **{f"leaf_{i}": l for i, l in enumerate(leaves)})
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"epoch": epoch, "history": history or []}, f)
+        json.dump({"epoch": epoch, "history": history or [],
+                   **(extra or {})}, f)
 
 
 def restore_checkpoint(path: str, params_template, opt_state_template=None

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -442,6 +443,13 @@ class Trainer:
             self.opt_state = opt_state
         self.history = meta.get("history", [])
         self.start_epoch = int(meta.get("epoch", 0))
+        best_dir = os.path.join(path, "best_val")
+        if os.path.exists(os.path.join(best_dir, "meta.json")):
+            best, _, bmeta = restore_checkpoint(best_dir, self.params)
+            self.best_params = best
+            self.best_val_loss = float(bmeta.get("best_val_loss", float("inf")))
+            hist_csi = [r.get("val_CSI_005", 0.0) for r in self.history]
+            self.best_val_csi = max(hist_csi) if hist_csi else 0.0
         return self.start_epoch
 
     def _place(self, batch: FloodGraph) -> FloodGraph:
@@ -499,6 +507,16 @@ class Trainer:
                     # CPU ignores donation, which is why tests can't catch it)
                     self.best_params = jax.tree_util.tree_map(
                         lambda x: jnp.array(x, copy=True), self.params)
+                    if self.checkpoint_dir:
+                        # persist best-val params so restart-from-autosave
+                        # recovery keeps the global best across processes
+                        from mswe_gnn_tpu.training.checkpoint import \
+                            save_checkpoint
+
+                        save_checkpoint(
+                            os.path.join(self.checkpoint_dir, "best_val"),
+                            self.best_params, epoch=epoch,
+                            extra={"best_val_loss": self.best_val_loss})
                 # early stop on CSI@0.05 as the reference does (main.py:94)
                 if metrics["val_CSI_005"] > self.best_val_csi + 1e-12:
                     self.best_val_csi = metrics["val_CSI_005"]

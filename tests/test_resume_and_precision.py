@@ -39,6 +39,34 @@ def test_trainer_checkpoint_resume(tmp_path):
     assert all(np.isfinite(np.asarray(x)).all() for x in a)
 
 
+def test_best_val_params_survive_resume(tmp_path):
+    """The best-validation params persist to <autosave>/best_val and are
+    restored by resume(), so a supervisor restarting bounded-lifetime
+    processes (examples/train_supervised.sh — the workaround for the axon
+    client's per-transfer host-memory leak) keeps the GLOBAL best, not just
+    the best of the final process."""
+    samples, _ = make_samples(rollout=2)
+    from tests.test_rollout import make_model
+
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions(batch_size=2, max_epochs=4, curriculum_epoch=2,
+                          max_rollout_steps=2, learning_rate=1e-3)
+    ckpt = str(tmp_path / "autosave")
+    tr = Trainer(apply_msgnn, cfg, params, opts, samples[:4], samples[:2],
+                 checkpoint_dir=ckpt, checkpoint_every=2)
+    tr.fit(max_epochs=2)
+    assert os.path.exists(os.path.join(ckpt, "best_val", "meta.json"))
+    best_loss = tr.best_val_loss
+    golden = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.best_params)]
+
+    tr2 = Trainer(apply_msgnn, cfg, params, opts, samples[:4], samples[:2],
+                  checkpoint_dir=ckpt)
+    tr2.resume(ckpt)
+    assert tr2.best_val_loss == best_loss
+    for a, b in zip(jax.tree_util.tree_leaves(tr2.best_params), golden):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=0, atol=0)
+
+
 def test_bf16_training_step_runs_and_learns():
     samples, _ = make_samples(rollout=2)
     batch = stack_graphs(samples[:4])
