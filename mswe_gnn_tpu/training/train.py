@@ -348,7 +348,8 @@ class Trainer:
                  checkpoint_every: int = 25,
                  curriculum_mode: str = "epoch",
                  batch_layout: str = "concat",
-                 mesh=None):
+                 mesh=None,
+                 device_dataset: bool = True):
         self.apply_fn = apply_fn
         self.cfg = cfg
         self.mesh = mesh   # optional jax.sharding.Mesh ('data','graph'):
@@ -384,6 +385,38 @@ class Trainer:
         self.curriculum = CurriculumController(opts, mode=curriculum_mode)
         assert batch_layout in ("concat", "vmap"), batch_layout
         self.batch_layout = batch_layout
+        # Device-resident dataset: the sample lists live in HBM as ONE stacked
+        # pytree each; batches are assembled on device (DeviceConcatPlan) so
+        # the per-batch host<->device traffic is an index vector, not the
+        # batch itself (concat_graphs on device-backed samples reads every
+        # field back to host and re-uploads the union — ~1 GB/epoch on the
+        # accuracy config, which the axon client additionally never frees).
+        self._dev_stacked: Dict[int, FloodGraph] = {}
+        self._dev_plans: Dict[tuple, "object"] = {}
+        self._device_dataset = (device_dataset and mesh is None
+                                and batch_layout == "concat")
+
+    def _device_stacked(self, graphs) -> Optional[FloodGraph]:
+        """Stacked device copy of a sample list (train or val), built once.
+        Returns None (and disables itself) when samples don't share a spec."""
+        key = id(graphs)
+        if key not in self._dev_stacked:
+            g0 = graphs[0]
+            ok = all(g.spec == g0.spec and g.previous_t == g0.previous_t
+                     and g.bc_kind == g0.bc_kind
+                     and (g.y is None) == (g0.y is None)
+                     and (g.y is None or g.y.shape == g0.y.shape)
+                     for g in graphs)
+            self._dev_stacked[key] = stack_graphs(graphs) if ok else None
+        return self._dev_stacked[key]
+
+    def _device_plan(self, spec, b):
+        from mswe_gnn_tpu.graph import DeviceConcatPlan
+
+        key = (spec, b)
+        if key not in self._dev_plans:
+            self._dev_plans[key] = DeviceConcatPlan(spec, b)
+        return self._dev_plans[key]
 
     def _maybe_rollback(self, train_loss: float) -> bool:
         """Divergence guard: on a loss spike (>= factor x recent median) or a
@@ -463,17 +496,25 @@ class Trainer:
         return shard_batch(batch, self.mesh, shard_graph=True)
 
     def _batches(self, graphs, batch_size, shuffle):
-        build = concat_graphs if self.batch_layout == "concat" else stack_graphs
         idx = np.arange(len(graphs))
         if shuffle:
             self.rng.shuffle(idx)
+        stacked = (self._device_stacked(graphs)
+                   if self._device_dataset and len(graphs) > 1 else None)
+        if stacked is not None:
+            build = lambda sel: self._device_plan(graphs[0].spec, len(sel))(
+                stacked, np.asarray(sel, np.int32))
+        else:
+            host = (concat_graphs if self.batch_layout == "concat"
+                    else stack_graphs)
+            build = lambda sel: host([graphs[j] for j in sel])
         for i in range(0, len(idx) - batch_size + 1, batch_size):
-            yield self._place(build([graphs[j] for j in idx[i:i + batch_size]]))
+            yield self._place(build(idx[i:i + batch_size]))
         rem = len(idx) % batch_size
         if rem and len(idx) >= batch_size:
             pass  # drop ragged tail: static batch shapes (last partial batch skipped)
         elif rem:
-            yield self._place(build([graphs[j] for j in idx]))
+            yield self._place(build(idx))
 
     def fit(self, max_epochs: Optional[int] = None, val_every: int = 1):
         opts = self.opts
