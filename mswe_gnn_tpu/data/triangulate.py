@@ -196,23 +196,61 @@ def mesh_from_triangulation(points: np.ndarray, cells: np.ndarray,
                 boundary_faces=np.where(boundary_flags)[0])
 
 
-def create_dike(polygon: np.ndarray, rng: np.random.Generator,
-                width_frac: float = 0.08) -> np.ndarray:
-    """Cut a dike (narrow notch) into one polygon edge
-    (reference database/graph_creation.py:257-344)."""
+def polygon_is_simple(polygon: np.ndarray) -> bool:
+    """True when no two non-adjacent polygon edges properly cross.
+
+    O(n^2) offline check. A self-intersecting boundary makes the constrained
+    triangulation impossible (two hard segments cannot cross) and its
+    interior ill-defined; generators must reject such polygons."""
     n = len(polygon)
-    i = int(rng.integers(0, n))
-    a, b = polygon[i], polygon[(i + 1) % n]
-    mid = (a + b) / 2
-    d = b - a
-    w = d * width_frac
-    inward = np.asarray([-d[1], d[0]])
-    inward = inward / np.linalg.norm(inward) * np.linalg.norm(d) * width_frac * 2
-    centroid = polygon.mean(0)
-    if np.dot(inward, centroid - mid) < 0:
-        inward = -inward
-    notch = [mid - w / 2, mid - w / 2 + inward, mid + w / 2 + inward, mid + w / 2]
-    return np.concatenate([polygon[: i + 1], np.asarray(notch), polygon[i + 1:]], 0)
+    b = polygon
+
+    def orient(p, q, r):
+        return np.sign((q[0] - p[0]) * (r[1] - p[1])
+                       - (q[1] - p[1]) * (r[0] - p[0]))
+
+    for i in range(n):
+        p, q = b[i], b[(i + 1) % n]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue
+            r, s = b[j], b[(j + 1) % n]
+            if (orient(p, q, r) * orient(p, q, s) < 0
+                    and orient(r, s, p) * orient(r, s, q) < 0):
+                return False
+    return True
+
+
+def create_dike(polygon: np.ndarray, rng: np.random.Generator,
+                width_frac: float = 0.08, max_tries: int = 12) -> np.ndarray:
+    """Cut a dike (narrow notch) into one polygon edge
+    (reference database/graph_creation.py:257-344).
+
+    On a spiky polygon the inward notch can poke through the opposite side
+    and make the boundary self-intersecting (which a constrained
+    triangulation must reject); retry on other edges with a shrinking notch
+    until the result is simple, else return the polygon un-notched."""
+    frac = width_frac
+    for attempt in range(max_tries):
+        n = len(polygon)
+        i = int(rng.integers(0, n))
+        a, b = polygon[i], polygon[(i + 1) % n]
+        mid = (a + b) / 2
+        d = b - a
+        w = d * frac
+        inward = np.asarray([-d[1], d[0]])
+        inward = inward / np.linalg.norm(inward) * np.linalg.norm(d) * frac * 2
+        centroid = polygon.mean(0)
+        if np.dot(inward, centroid - mid) < 0:
+            inward = -inward
+        notch = [mid - w / 2, mid - w / 2 + inward, mid + w / 2 + inward,
+                 mid + w / 2]
+        out = np.concatenate([polygon[: i + 1], np.asarray(notch),
+                              polygon[i + 1:]], 0)
+        if polygon_is_simple(out):
+            return out
+        frac *= 0.7
+    return polygon
 
 
 def triangulated_hierarchy(rng: np.random.Generator, dem_fn: Callable,

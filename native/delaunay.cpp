@@ -290,60 +290,90 @@ struct CDT {
            orient(c, d, a) * orient(c, d, b) < 0;
   }
 
-  // Sloan-style recovery: flip edges crossing segment (a, b) until present.
+  // Find an alive triangle having directed edge (c, d); returns (t, i) with
+  // i the index of the vertex opposite that edge, or (-1, -1).
+  std::pair<int64_t, int> find_edge(int64_t c, int64_t d) const {
+    for (int64_t t : ring(c)) {
+      for (int i = 0; i < 3; ++i) {
+        int64_t u = tv[t][(i + 1) % 3], v = tv[t][(i + 2) % 3];
+        if ((u == c && v == d) || (u == d && v == c)) return {t, i};
+      }
+    }
+    return {-1, -1};
+  }
+
+  // Sloan-style recovery of segment (a, b): collect the edges crossing it,
+  // then flip them with a retry queue — a non-convex quad is deferred (its
+  // edge becomes flippable after neighboring flips), not a failure.
   bool recover(int64_t a, int64_t b, int depth = 0) {
     if (depth > 32) return false;
-    if (a == b) return true;
-    if (edge_exists(a, b)) return true;
-    // find the triangle at a whose opposite edge crosses (a, b), or a vertex
-    // exactly on the segment (split recovery there)
-    for (int64_t iter = 0; iter < 4 * (int64_t)tv.size() + 64; ++iter) {
-      int64_t t_cross = -1;
-      int cross_i = -1;
-      for (int64_t t : ring(a)) {
-        int64_t ia = vertex_index(t, a);
-        int64_t c = tv[t][(ia + 1) % 3], d = tv[t][(ia + 2) % 3];
-        for (int64_t v : {c, d}) {  // vertex exactly on the segment?
-          if (v == b || v == a) continue;
+    if (a == b || edge_exists(a, b)) return true;
+
+    // walk from a along the segment, collecting crossing edges; a vertex
+    // exactly on the segment splits the recovery at that vertex
+    std::vector<std::pair<int64_t, int64_t>> queue;
+    {
+      int64_t t = -1;
+      int i = -1;
+      for (int64_t rt : ring(a)) {
+        int64_t ia = vertex_index(rt, a);
+        int64_t c = tv[rt][(ia + 1) % 3], d = tv[rt][(ia + 2) % 3];
+        for (int64_t v : {c, d}) {
+          if (v == b || v == a || v >= n_user) continue;
           if (orient(a, b, v) == 0 &&
               (x[v] - x[a]) * (x[b] - x[a]) + (y[v] - y[a]) * (y[b] - y[a]) > 0 &&
               (x[v] - x[b]) * (x[a] - x[b]) + (y[v] - y[b]) * (y[a] - y[b]) > 0)
             return recover(a, v, depth + 1) && recover(v, b, depth + 1);
         }
-        if (crosses(a, b, c, d)) {
-          t_cross = t;
-          cross_i = (int)ia;
-          break;
-        }
+        if (crosses(a, b, c, d)) { t = rt; i = (int)ia; break; }
       }
-      if (t_cross == -1) return edge_exists(a, b);
-      // flip the crossing edge if the quad is convex; otherwise walk to the
-      // next crossing edge deeper along the segment and try there
-      int64_t t = t_cross;
-      int i = cross_i;
+      if (t == -1) return edge_exists(a, b);
       int64_t guard = 4 * (int64_t)tv.size() + 64;
       while (guard-- > 0) {
-        if (flip(t, i)) break;  // restart outer scan from a
+        int64_t c = tv[t][(i + 1) % 3], d = tv[t][(i + 2) % 3];
+        queue.emplace_back(c, d);
         int64_t t2 = tn[t][i];
         if (t2 == -1 || dead[t2]) return false;
         int64_t i2 = neighbor_index(t2, t);
         if (i2 == -1) return false;
         int64_t yv = tv[t2][i2];
-        if (yv == b) return false;  // blocked right at b: give up
-        // segment exits t2 through one of the edges adjacent to yv
+        if (yv == b) break;  // reached the far endpoint
+        if (yv < n_user && orient(a, b, yv) == 0)
+          return recover(a, yv, depth + 1) && recover(yv, b, depth + 1);
+        // the segment exits t2 through one of the two edges adjacent to yv
         int64_t e1 = (i2 + 1) % 3, e2 = (i2 + 2) % 3;
         int64_t c1 = tv[t2][(e1 + 1) % 3], d1 = tv[t2][(e1 + 2) % 3];
-        if (crosses(a, b, c1, d1)) {
-          t = t2; i = (int)e1;
-        } else {
+        if (crosses(a, b, c1, d1)) { t = t2; i = (int)e1; }
+        else {
           int64_t c2 = tv[t2][(e2 + 1) % 3], d2 = tv[t2][(e2 + 2) % 3];
           if (!crosses(a, b, c2, d2)) return false;
           t = t2; i = (int)e2;
         }
       }
-      if (edge_exists(a, b)) return true;
+      if (guard <= 0) return false;
     }
-    return false;
+
+    // flip queue with deferral; bounded by total attempts
+    int64_t attempts = 16 * (int64_t)(queue.size() + 4) + 256;
+    size_t h = 0;
+    while (h < queue.size()) {
+      if (--attempts < 0) return false;
+      auto [c, d] = queue[h++];
+      auto [t, i] = find_edge(c, d);
+      if (t == -1) continue;                      // edge gone (flipped away)
+      if (!crosses(a, b, c, d)) continue;         // no longer in the way
+      int64_t t2 = tn[t][i];
+      if (t2 == -1 || dead[t2]) return false;
+      if (flip(t, i)) {
+        // after flip(t, i): t = (x, c, y) — the new diagonal is (x, y) =
+        // (tv[t][0], tv[t][2]); it may still cross the segment
+        int64_t nx_ = tv[t][0], ny_ = tv[t][2];
+        if (crosses(a, b, nx_, ny_)) queue.emplace_back(nx_, ny_);
+      } else {
+        queue.emplace_back(c, d);  // defer: flippable after neighbors flip
+      }
+    }
+    return edge_exists(a, b);
   }
 
   // Global constrained-Delaunay flip pass (also cleans up recovery edges).

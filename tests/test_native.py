@@ -120,6 +120,22 @@ def test_cdt_recovers_constrained_edges(rng):
         assert tuple(sorted(s.tolist())) in edges
 
 
+def test_create_dike_stays_simple():
+    """The dike notch must never make the boundary self-intersecting — a
+    crossing pair of hard segments is unrecoverable for any CDT (seeds 53/
+    79/225 of the production-rate harness used to poke the notch through
+    the far side of a spiky polygon)."""
+    from mswe_gnn_tpu.data.triangulate import (create_dike, generate_polygon,
+                                               polygon_is_simple)
+
+    for seed in range(120):
+        r = np.random.default_rng(seed)
+        poly = generate_polygon(r, avg_radius=1600.0, spikiness=0.4,
+                                irregularity=0.6)
+        assert polygon_is_simple(poly)
+        assert polygon_is_simple(create_dike(poly, r))
+
+
 def test_laplacian_smooth_improves_quality_and_fixes_boundary(rng):
     from mswe_gnn_tpu.data.triangulate import (
         equidistant_perimeter, generate_polygon, point_in_polygon)
