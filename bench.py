@@ -60,7 +60,10 @@ def build_bench_problem(nx=152, ny=152, num_scales=3, previous_t=3, T=48,
          "learned_residuals": True, "with_WL": True, "gnn_activation": "tanh",
          "mlp_activation": "prelu",
          # bf16 compute matches the reference's '16-mixed' AMP policy
-         "compute_dtype": os.environ.get("BENCH_DTYPE", "bfloat16")},
+         "compute_dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
+         # flat-gather hop for blocks below this node count (coarse scales
+         # are launch-bound; see SWEGNNConfig.flat_hop_threshold)
+         "flat_hop_threshold": int(os.environ.get("BENCH_FLAT_HOP", "0"))},
         num_node_features=g.x_static.shape[1] + g.x_dynamic.shape[1],
         num_edge_features=g.edge_attr.shape[1], num_scales=num_scales,
         previous_t=previous_t)

@@ -60,6 +60,7 @@ class MSGNNConfig:
     residual_init: str = "exp"
     compute_dtype: str = "float32"
     use_pallas: bool = False
+    flat_hop_threshold: int = 0  # see SWEGNNConfig.flat_hop_threshold
 
     @property
     def out_dim(self) -> int:
@@ -97,6 +98,7 @@ class MSGNNConfig:
             mlp_bias=True,
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
+            flat_hop_threshold=self.flat_hop_threshold,
         )
 
     def intra_cfg(self) -> SWEGNNConfig:

@@ -66,6 +66,13 @@ class SWEGNNConfig:
     mlp_bias: bool = True
     compute_dtype: str = "float32"   # 'bfloat16' = MXU-rate matmuls + half-width hop traffic
     use_pallas: bool = False         # fused VMEM-resident hop kernel (ops/pallas_hop.py)
+    # Blocks with <= this many dst nodes run the hop as ONE flat gather into
+    # an [Nd, D, F] tile instead of D per-slot gathers: coarse scales are
+    # launch-bound (many <10us kernels), and the stacked intermediate is
+    # small there. 0 disables. (At dk15 finest-scale size the per-slot loop
+    # is 2.2x faster — the [Nd, D, F] HBM intermediate dominates — so the
+    # threshold should stay well below ~20k nodes.)
+    flat_hop_threshold: int = 0
 
     @property
     def edge_input_size(self) -> int:
@@ -293,6 +300,32 @@ def apply_swegnn_block(
             out = out.astype(cd)
             if not same_block:
                 out_src = out_src.astype(cd)
+        if n_dst <= cfg.flat_hop_threshold and same_block:
+            # launch-count path for small blocks: one flat gather + one
+            # stacked elementwise reduce per hop (vs D kernels each)
+            s_tab = jnp.stack(s_slots, axis=1)                    # [Nd, D, F]
+            flat_src = jnp.stack(src_slots, axis=1).reshape(-1)   # [Nd*D]
+            f = out.shape[1]
+            for k in range(cfg.K):
+                dst_act = (out.sum(axis=1, keepdims=True) != 0).astype(out.dtype)
+                nb = jnp.take(out, flat_src, axis=0).reshape(n_dst, d_max, f)
+                act = jnp.maximum(
+                    (nb.sum(axis=-1, keepdims=True) != 0).astype(out.dtype),
+                    dst_act[:, :, None])
+                if cfg.with_gradient:
+                    diff = out[:, None, :] - nb
+                    if cfg.upwind_mode:
+                        diff = jnp.maximum(diff, 0.0)
+                    agg = (diff * s_tab * act).sum(axis=1)
+                else:
+                    agg = (s_tab * nb * act).sum(axis=1)
+                if cfg.with_filter_matrix:
+                    agg = apply_linear(params["filters"][k + 1], agg,
+                                       compute_dtype=cd)
+                if cd is not None:
+                    agg = agg.astype(cd)
+                out = out + agg
+            return out.astype(x_d_dst.dtype) if cd is not None else out
         for k in range(cfg.K):
             src_ref = out if same_block else out_src
             # wet-front mask from data already on hand: src activity is

@@ -134,6 +134,26 @@ def test_swegnn_padded_edges_are_noops(rng):
     np.testing.assert_allclose(got, base, rtol=1e-6, atol=1e-7)
 
 
+def test_flat_hop_matches_per_slot():
+    """flat_hop_threshold (one [Nd, D, F] gather per hop, for launch-bound
+    small blocks) must match the per-slot ELL hop on a full MSGNN forward."""
+    from mswe_gnn_tpu.models.msgnn import MSGNNConfig, apply_msgnn, init_msgnn
+    from tests.test_models import make_samples
+
+    samples, _ = make_samples()
+    g = samples[1]
+    kw = dict(num_node_features=g.x_static.shape[1] + g.x_dynamic.shape[1],
+              num_edge_features=g.edge_attr.shape[1], num_scales=3,
+              hid_features=16, K=2, previous_t=2,
+              learned_residuals=True, with_WL=True)
+    cfg_a = MSGNNConfig(**kw)
+    cfg_b = MSGNNConfig(flat_hop_threshold=10 ** 9, **kw)
+    params = init_msgnn(jax.random.PRNGKey(3), cfg_a)
+    a = np.asarray(apply_msgnn(params, cfg_a, g))
+    b = np.asarray(apply_msgnn(params, cfg_b, g))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
 def test_swegnn_dst_range_restriction(rng):
     """Restricting aggregation to a static node range that contains all the
     edges must equal the unrestricted computation."""
