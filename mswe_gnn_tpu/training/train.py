@@ -495,7 +495,7 @@ class Trainer:
             return shard_union_batch(batch, self.mesh)
         return shard_batch(batch, self.mesh, shard_graph=True)
 
-    def _batches(self, graphs, batch_size, shuffle):
+    def _batches(self, graphs, batch_size, shuffle, drop_tail=True):
         idx = np.arange(len(graphs))
         if shuffle:
             self.rng.shuffle(idx)
@@ -512,7 +512,9 @@ class Trainer:
             yield self._place(build(idx[i:i + batch_size]))
         rem = len(idx) % batch_size
         if rem and len(idx) >= batch_size:
-            pass  # drop ragged tail: static batch shapes (last partial batch skipped)
+            if not drop_tail:  # one extra compile per distinct tail size
+                yield self._place(build(idx[len(idx) - rem:]))
+            # training drops the ragged tail: static batch shapes per epoch
         elif rem:
             yield self._place(build(idx))
 
@@ -579,7 +581,10 @@ class Trainer:
         steps = int(self.val_graphs[0].y.shape[-1])
         agg = []
         bs = min(self.opts.batch_size, len(self.val_graphs))
-        for batch in self._batches(self.val_graphs, bs, False):
+        # keep the ragged tail: every validation graph counts (the train
+        # loop drops tails for static per-epoch shapes; here fidelity wins)
+        for batch in self._batches(self.val_graphs, bs, False,
+                                   drop_tail=False):
             m = eval_step(self.params, batch, apply_fn=self.apply_fn,
                           cfg=self.cfg, steps=steps, opts=self.opts,
                           multiscale=self.multiscale)

@@ -138,6 +138,22 @@ def test_tune_batch_size_returns_candidate():
     assert all(r > 0 for r in rates.values())
 
 
+def test_validation_includes_ragged_tail():
+    """validate() must evaluate EVERY val graph: with 3 val graphs and
+    batch_size 2 the tail graph gets its own batch (the train loop, by
+    contrast, drops ragged tails for static per-epoch shapes)."""
+    samples, _ = make_samples(rollout=2)
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions(batch_size=2, max_rollout_steps=2)
+    tr = Trainer(apply_msgnn, cfg, params, opts, samples[:4], samples[:3])
+    val_batches = list(tr._batches(tr.val_graphs, 2, False, drop_tail=False))
+    assert [b.num_graphs for b in val_batches] == [2, 1]
+    train_batches = list(tr._batches(tr.train_graphs, 2, True))
+    assert [b.num_graphs for b in train_batches] == [2, 2]
+    m = tr.validate()
+    assert np.isfinite(m["val_loss"])
+
+
 def test_trainer_fit_smoke():
     samples, _ = make_samples(rollout=2)
     cfg, params = make_model(samples[0], K=1, hid=8)
