@@ -304,7 +304,8 @@ def apply_swegnn_block(
             # launch-count path for small blocks: one flat gather + one
             # stacked elementwise reduce per hop (vs D kernels each)
             s_tab = jnp.stack(s_slots, axis=1)                    # [Nd, D, F]
-            flat_src = jnp.stack(src_slots, axis=1).reshape(-1)   # [Nd*D]
+            flat_src = (src_slot_table if src_slot_table is not None
+                        else jnp.stack(src_slots, axis=1)).reshape(-1)  # [Nd*D]
             f = out.shape[1]
             for k in range(cfg.K):
                 dst_act = (out.sum(axis=1, keepdims=True) != 0).astype(out.dtype)

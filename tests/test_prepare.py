@@ -24,6 +24,21 @@ def test_cached_msgnn_forward_is_exact():
     assert prepare_graph(params, cfg, gp) is gp
 
 
+def test_cached_forward_with_flat_hop():
+    """The prepared (ell_cache) path must agree with the per-slot hop when
+    flat_hop_threshold routes small blocks through the flat gather."""
+    import dataclasses
+
+    samples, _ = make_samples()
+    g = samples[1]
+    cfg, params = make_model(g, K=3, hid=16)
+    cfg_flat = dataclasses.replace(cfg, flat_hop_threshold=10 ** 9)
+    base = np.asarray(apply_msgnn(params, cfg, g))
+    gp = prepare_graph(params, cfg_flat, g)
+    flat_cached = np.asarray(apply_msgnn(params, cfg_flat, gp))
+    np.testing.assert_allclose(base, flat_cached, rtol=2e-5, atol=2e-6)
+
+
 def test_cached_gnn_forward_is_exact():
     from mswe_gnn_tpu.models.gnn import GNNConfig, apply_gnn, init_gnn
 
