@@ -54,6 +54,25 @@ def test_device_concat_matches_across_meshes():
         _assert_graphs_equal(got, want)
 
 
+def test_trainer_batches_device_equals_host():
+    """Trainer._batches with the device-resident dataset must yield the same
+    batches (same shuffle order, same values) as the host concat path."""
+    from mswe_gnn_tpu.models.msgnn import apply_msgnn
+    from mswe_gnn_tpu.training.train import Trainer, TrainerOptions
+    from tests.test_rollout import make_model
+
+    samples, _ = make_samples(rollout=2)
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions(batch_size=2, seed=7)
+    a = Trainer(apply_msgnn, cfg, params, opts, samples[:5], samples[:2],
+                device_dataset=True)
+    b = Trainer(apply_msgnn, cfg, params, opts, samples[:5], samples[:2],
+                device_dataset=False)
+    for ga, gb in zip(a._batches(a.train_graphs, 2, True),
+                      b._batches(b.train_graphs, 2, True)):
+        _assert_graphs_equal(ga, gb)
+
+
 def test_device_concat_identity_for_b1():
     samples, _ = make_samples(rollout=2)
     stacked = stack_graphs(samples)
