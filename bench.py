@@ -62,8 +62,11 @@ def build_bench_problem(nx=152, ny=152, num_scales=3, previous_t=3, T=48,
          # bf16 compute matches the reference's '16-mixed' AMP policy
          "compute_dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
          # flat-gather hop for blocks below this node count (coarse scales
-         # are launch-bound; see SWEGNNConfig.flat_hop_threshold)
-         "flat_hop_threshold": int(os.environ.get("BENCH_FLAT_HOP", "0"))},
+         # are launch-bound; see SWEGNNConfig.flat_hop_threshold). Swept on
+         # v5e: 2048 (coarsest scale only) 0.218s vs 0.228s per-slot and
+         # 0.232s at 8192 — the 5.8k-node scale's [Nd,D,F] intermediate
+         # costs more than its launch savings.
+         "flat_hop_threshold": int(os.environ.get("BENCH_FLAT_HOP", "2048"))},
         num_node_features=g.x_static.shape[1] + g.x_dynamic.shape[1],
         num_edge_features=g.edge_attr.shape[1], num_scales=num_scales,
         previous_t=previous_t)
