@@ -108,7 +108,10 @@ def bench_training(cfg, params, apply_fn, sample, mesh):
 
     batch_n = int(os.environ.get("BENCH_BATCH", "1"))
     batch = concat_graphs([sample] * batch_n) if batch_n > 1 else sample
-    opts = TrainerOptions(batch_size=batch_n, velocity_scaler=7.0)
+    # remat: the 6-step pushforward at dk15 scale stores ~126 GB of
+    # activations without it (measured XLA OOM on 16 GB HBM at batch 4)
+    opts = TrainerOptions(batch_size=batch_n, velocity_scaler=7.0,
+                          remat=os.environ.get("BENCH_REMAT", "1") == "1")
     optimizer = make_optimizer(opts, steps_per_epoch=1)
     state = optimizer.init(params)
     p = params
