@@ -30,7 +30,11 @@ while true; do
   code=""
   while kill -0 "$child" 2>/dev/null; do
     sleep 30
-    metrics="$OUT/metrics.jsonl"
+    # Prefer the per-batch heartbeat (touched every <=10s by the Trainer)
+    # over the per-epoch metrics file: a config whose epochs exceed
+    # WATCHDOG_SECS would otherwise be killed mid-epoch repeatedly.
+    metrics="$OUT/autosave/heartbeat"
+    [ -f "$metrics" ] || metrics="$OUT/metrics.jsonl"
     if [ -f "$metrics" ]; then
       now=$(date +%s)
       age=$(( now - $(stat -c %Y "$metrics") ))

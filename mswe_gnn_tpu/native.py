@@ -27,19 +27,32 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception as e:
-            warnings.warn(f"native meshcore build failed ({e}); using numpy fallbacks")
+    # Always invoke make: the Makefile dependency on the .cpp sources makes it
+    # a cheap no-op when current, and it rebuilds a stale pre-upgrade .so whose
+    # symbol set may no longer match the bindings below.
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception as e:
+        if not os.path.exists(_LIB_PATH):
+            warnings.warn(f"native meshcore build failed ({e}); "
+                          "using numpy fallbacks")
             return None
+        warnings.warn(f"native meshcore rebuild failed ({e}); "
+                      "trying the existing library")
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError as e:
+        _bind(lib)
+    except (OSError, AttributeError) as e:
+        # AttributeError = missing symbol (stale .so that survived a failed
+        # rebuild): fall back to numpy rather than crash available().
         warnings.warn(f"native meshcore load failed ({e}); using numpy fallbacks")
         return None
+    _lib = lib
+    return _lib
 
+
+def _bind(lib: ctypes.CDLL) -> None:
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -66,8 +79,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.refine_midpoint.argtypes = [
         f64p, ctypes.c_int64, i64p, ctypes.c_int64, f64p, i64p,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

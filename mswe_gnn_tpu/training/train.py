@@ -378,7 +378,9 @@ class Trainer:
         self.best_params = params
         self.best_val_loss = float("inf")
         self.best_val_csi = -float("inf")
+        self.epochs_without_improvement = 0
         self._recent_losses: List[float] = []
+        self._last_heartbeat = 0.0
         self.start_epoch = 0
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
@@ -391,24 +393,28 @@ class Trainer:
         # batch itself (concat_graphs on device-backed samples reads every
         # field back to host and re-uploads the union — ~1 GB/epoch on the
         # accuracy config, which the axon client additionally never frees).
-        self._dev_stacked: Dict[int, FloodGraph] = {}
+        self._dev_stacked: Dict[int, tuple] = {}
         self._dev_plans: Dict[tuple, "object"] = {}
         self._device_dataset = (device_dataset and mesh is None
                                 and batch_layout == "concat")
 
     def _device_stacked(self, graphs) -> Optional[FloodGraph]:
         """Stacked device copy of a sample list (train or val), built once.
-        Returns None (and disables itself) when samples don't share a spec."""
+        Returns None (and disables itself) when samples don't share a spec.
+        The cache retains the list itself: keying on id() alone risks CPython
+        id reuse handing a stale stacked pytree to a different list."""
         key = id(graphs)
-        if key not in self._dev_stacked:
+        hit = self._dev_stacked.get(key)
+        if hit is None or hit[0] is not graphs:
             g0 = graphs[0]
             ok = all(g.spec == g0.spec and g.previous_t == g0.previous_t
                      and g.bc_kind == g0.bc_kind
                      and (g.y is None) == (g0.y is None)
                      and (g.y is None or g.y.shape == g0.y.shape)
                      for g in graphs)
-            self._dev_stacked[key] = stack_graphs(graphs) if ok else None
-        return self._dev_stacked[key]
+            hit = (graphs, stack_graphs(graphs) if ok else None)
+            self._dev_stacked[key] = hit
+        return hit[1]
 
     def _device_plan(self, spec, b):
         from mswe_gnn_tpu.graph import DeviceConcatPlan
@@ -458,11 +464,16 @@ class Trainer:
         return False
 
     def save(self, path: str, epoch: int) -> None:
-        """Periodic checkpoint for crash recovery (params + opt state)."""
+        """Periodic checkpoint for crash recovery (params + opt state).
+        Early-stop state rides along so a relaunched bounded-lifetime process
+        (--epoch-budget) keeps the patience counter instead of resetting it."""
         from mswe_gnn_tpu.training.checkpoint import save_checkpoint
 
         save_checkpoint(path, self.params, opt_state=self.opt_state,
-                        epoch=epoch, history=self.history)
+                        epoch=epoch, history=self.history,
+                        extra={"best_val_csi": self.best_val_csi,
+                               "epochs_without_improvement":
+                                   self.epochs_without_improvement})
 
     def resume(self, path: str) -> int:
         """Restore params/opt_state/epoch from a crash checkpoint and return
@@ -483,6 +494,12 @@ class Trainer:
             self.best_val_loss = float(bmeta.get("best_val_loss", float("inf")))
             hist_csi = [r.get("val_CSI_005", 0.0) for r in self.history]
             self.best_val_csi = max(hist_csi) if hist_csi else 0.0
+        # early-stop state persisted by save(); fall back to history-derived
+        # values for checkpoints written before these keys existed
+        if "best_val_csi" in meta:
+            self.best_val_csi = float(meta["best_val_csi"])
+        self.epochs_without_improvement = int(
+            meta.get("epochs_without_improvement", 0))
         return self.start_epoch
 
     def _place(self, batch: FloodGraph) -> FloodGraph:
@@ -518,10 +535,22 @@ class Trainer:
         elif rem:
             yield self._place(build(idx))
 
+    def _heartbeat(self) -> None:
+        """Touch <checkpoint_dir>/heartbeat (throttled): proof the training
+        loop advances within an epoch, for stall watchdogs whose per-epoch
+        metrics file would otherwise false-positive on long epochs."""
+        if not self.checkpoint_dir:
+            return
+        now = time.time()
+        if now - self._last_heartbeat >= 10.0:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            with open(os.path.join(self.checkpoint_dir, "heartbeat"), "w") as f:
+                f.write(f"{now}\n")
+            self._last_heartbeat = now
+
     def fit(self, max_epochs: Optional[int] = None, val_every: int = 1):
         opts = self.opts
         max_epochs = max_epochs if max_epochs is not None else opts.max_epochs
-        epochs_without_improvement = 0
         for epoch in range(self.start_epoch, max_epochs):
             rollout_steps = self.curriculum.on_epoch_start(epoch)
             t0 = time.time()
@@ -533,6 +562,7 @@ class Trainer:
                     rollout_steps=rollout_steps, opts=opts,
                     multiscale=self.multiscale, optimizer=self.optimizer)
                 losses.append(loss)
+                self._heartbeat()
             train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
             self.curriculum.on_epoch_end(train_loss)
             record = {"epoch": epoch, "rollout_steps": rollout_steps,
@@ -560,13 +590,15 @@ class Trainer:
                             os.path.join(self.checkpoint_dir, "best_val"),
                             self.best_params, epoch=epoch,
                             extra={"best_val_loss": self.best_val_loss})
-                # early stop on CSI@0.05 as the reference does (main.py:94)
+                # early stop on CSI@0.05 as the reference does (main.py:94);
+                # the counter lives on self so --epoch-budget relaunches
+                # resume it (persisted in save()/resume())
                 if metrics["val_CSI_005"] > self.best_val_csi + 1e-12:
                     self.best_val_csi = metrics["val_CSI_005"]
-                    epochs_without_improvement = 0
+                    self.epochs_without_improvement = 0
                 else:
-                    epochs_without_improvement += val_every
-                if epochs_without_improvement >= opts.patience:
+                    self.epochs_without_improvement += val_every
+                if self.epochs_without_improvement >= opts.patience:
                     self.history.append(record)
                     self.log_fn(record)
                     break
@@ -579,7 +611,7 @@ class Trainer:
 
     def validate(self) -> Dict[str, float]:
         steps = int(self.val_graphs[0].y.shape[-1])
-        agg = []
+        agg, weights = [], []
         bs = min(self.opts.batch_size, len(self.val_graphs))
         # keep the ragged tail: every validation graph counts (the train
         # loop drops tails for static per-epoch shapes; here fidelity wins)
@@ -589,4 +621,14 @@ class Trainer:
                           cfg=self.cfg, steps=steps, opts=self.opts,
                           multiscale=self.multiscale)
             agg.append({k: float(v) for k, v in m.items()})
-        return {k: float(np.nanmean([m[k] for m in agg])) for k in agg[0]}
+            weights.append(float(batch.num_graphs))
+        # weight each batch by its graph count so a ragged tail batch does
+        # not get the same vote as a full batch (per-graph aggregation)
+        out = {}
+        w = np.asarray(weights, np.float64)
+        for k in agg[0]:
+            vals = np.asarray([m[k] for m in agg], np.float64)
+            ok = np.isfinite(vals)
+            out[k] = (float((vals[ok] * w[ok]).sum() / w[ok].sum())
+                      if ok.any() else float("nan"))
+        return out

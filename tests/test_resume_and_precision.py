@@ -108,3 +108,29 @@ def test_bf16_forward_close_to_f32():
     # bf16 has ~3 decimal digits; outputs should agree loosely
     denom = np.maximum(np.abs(o32), 0.05)
     assert np.median(np.abs(o16 - o32) / denom) < 0.05
+
+
+def test_early_stop_state_survives_resume(tmp_path):
+    """The CSI patience counter and best CSI persist through the autosave,
+    so --epoch-budget relaunches cannot reset early stopping (ADVICE r1):
+    with budget < patience the counter previously restarted at 0 every
+    process and early stop could never fire."""
+    samples, _ = make_samples(rollout=2)
+    from tests.test_rollout import make_model
+
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions(batch_size=2, max_epochs=4, max_rollout_steps=2,
+                          learning_rate=1e-3)
+    ckpt = str(tmp_path / "autosave")
+    tr = Trainer(apply_msgnn, cfg, params, opts, samples[:4], samples[:2],
+                 checkpoint_dir=ckpt)
+    tr.fit(max_epochs=2)
+    tr.best_val_csi = 0.75
+    tr.epochs_without_improvement = 7
+    tr.save(ckpt, 2)
+
+    tr2 = Trainer(apply_msgnn, cfg, params, opts, samples[:4], samples[:2],
+                  checkpoint_dir=ckpt)
+    tr2.resume(ckpt)
+    assert tr2.best_val_csi == 0.75
+    assert tr2.epochs_without_improvement == 7

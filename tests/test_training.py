@@ -207,3 +207,40 @@ def test_spike_rollback_restores_best_params():
     for loss in (0.1, 0.1, 0.1):
         tr2._maybe_rollback(loss)
     assert not tr2._maybe_rollback(99.0)
+
+
+def test_validate_weights_batches_per_graph(monkeypatch):
+    """validate() weights each batch's metrics by its graph count: with a
+    ragged tail (batches of 2 and 1 graphs) the aggregate is the per-graph
+    mean, not the per-batch mean (VERDICT r1 weak #7)."""
+    samples, _ = make_samples(rollout=2)
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions(batch_size=2, max_rollout_steps=2)
+    tr = Trainer(apply_msgnn, cfg, params, opts, samples[:4], samples[:3])
+
+    import mswe_gnn_tpu.training.train as train_mod
+
+    def fake_eval_step(params, batch, **kw):
+        # metric = 1.0 per graph in the first (full) batch, 4.0 in the tail
+        v = 1.0 if int(batch.num_graphs) == 2 else 4.0
+        return {"val_loss": v, "val_CSI_005": v, "val_CSI_03": v}
+
+    monkeypatch.setattr(train_mod, "eval_step", fake_eval_step)
+    m = tr.validate()
+    # per-graph mean = (1+1+4)/3 = 2.0; per-batch mean would be 2.5
+    assert abs(m["val_loss"] - 2.0) < 1e-9
+
+
+def test_heartbeat_file_written_during_fit(tmp_path):
+    """fit() touches <ckpt>/heartbeat per batch so an external stall
+    watchdog can distinguish long epochs from a wedged process."""
+    samples, _ = make_samples(rollout=2)
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions(batch_size=2, max_epochs=1, max_rollout_steps=2)
+    ckpt = str(tmp_path / "autosave")
+    tr = Trainer(apply_msgnn, cfg, params, opts, samples[:4], samples[:2],
+                 checkpoint_dir=ckpt)
+    tr._last_heartbeat = 0.0
+    tr.fit(max_epochs=1)
+    import os
+    assert os.path.exists(os.path.join(ckpt, "heartbeat"))
