@@ -20,6 +20,12 @@ from mswe_gnn_tpu.data.simulate import (
     random_dem_fn, random_hydrograph, run_diffusive_wave,
 )
 
+# Bump when generated records change meaning (main._generate_cached keys its
+# disk cache on this, so stale caches can't silently poison new runs).
+# v2: BC/forcing series are zero-order-hold aligned — column t holds the
+# forcing of the interval (t, t+1] (see generate_simulation_record).
+GENERATOR_VERSION = 2
+
 
 def make_multiscale_grid(nx: int, ny: int, dx: float, num_scales: int,
                          dem_fn, n_bc: int = 2, type_bc: int = 2
@@ -155,13 +161,27 @@ def generate_simulation_record(
     vx = pool_to_scales(vx0, mesh)
     vy = pool_to_scales(vy0, mesh)
 
-    # per-ghost inflow per unit BC-edge length (reference utils/dataset.py:275)
-    per_ghost = hydro[None, :] / max(len(ghosts.ghost_nodes), 1)
+    # Zero-order-hold alignment: our solver stores wd[:, t] = state at the
+    # END of interval t, driven by the piecewise-constant inflow hydro[t].
+    # The rollout injects the BC series sampled at the LAST INPUT frame's
+    # timestamp (reference utils/dataset.py:456, 486-497) — so column t of the
+    # recorded series must hold the inflow of the interval (t, t+1] being
+    # predicted, i.e. hydro[t+1]. Without this shift the model receives the
+    # PREVIOUS interval's inflow (one step stale) and structurally cannot
+    # predict the first wet frame (measured: CSI(step 0) = 0, and a lagging
+    # wet front throughout). The reference's D-HYDRO data doesn't need this
+    # because its BC series is instantaneous samples of a smooth hydrograph.
+    # Per-ghost inflow per unit BC-edge length (reference utils/dataset.py:275).
+    hydro_zoh = np.concatenate([hydro[1:], hydro[-1:]])
+    per_ghost = hydro_zoh[None, :] / max(len(ghosts.ghost_nodes), 1)
     bc_per_length = per_ghost / ghosts.edge_bc_length[:, None]
 
     forcing, forcing_names = None, ()
     if storm:
-        f0 = with_ghosts(fields)                       # [N0, 3, T]
+        # same zero-order-hold shift: fields[:, :, t] drives interval t, and
+        # with_step_forcing feeds the column at the last input frame's time
+        f0 = with_ghosts(np.concatenate([fields[:, :, 1:], fields[:, :, -1:]],
+                                        axis=2))       # [N0, 3, T]
         forcing = np.stack([pool_to_scales(f0[:, f], mesh) for f in range(3)],
                            axis=1).astype(np.float32)
         forcing_names = ("WX", "WY", "P")

@@ -47,7 +47,10 @@ def _generate_cached(sd: Dict, temporal_res: float):
 
     from mswe_gnn_tpu.data.io import load_records, save_records
 
-    key_src = json.dumps({**sd, "temporal_res": temporal_res}, sort_keys=True)
+    from mswe_gnn_tpu.data.synthetic import GENERATOR_VERSION
+
+    key_src = json.dumps({**sd, "temporal_res": temporal_res,
+                          "gen_version": GENERATOR_VERSION}, sort_keys=True)
     cache_dir = os.environ.get("MSWE_DATA_CACHE", "runs/data_cache")
     path = os.path.join(cache_dir,
                         hashlib.sha256(key_src.encode()).hexdigest()[:16] + ".h5")

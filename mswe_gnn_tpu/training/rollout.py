@@ -30,9 +30,21 @@ def bc_window(graph: FloodGraph, step: jax.Array) -> jax.Array:
 
 def bc_midpoint(graph: FloodGraph, step: jax.Array) -> jax.Array:
     """Mean of the last two BC entries of window ``step + 1`` — the value used
-    by the conservation loss (reference training/train.py:138: ``BC[:,-2:,i+1].mean(1)``)."""
+    by the reference's conservation loss (reference training/train.py:138:
+    ``BC[:,-2:,i+1].mean(1)``), a midpoint rule for instantaneous-sample BC
+    series (D-HYDRO data)."""
     w = bc_window(graph, step + 1)
     return w[:, -2:].mean(axis=1)
+
+
+def bc_step_inflow(graph: FloodGraph, step: jax.Array) -> jax.Array:
+    """Inflow driving rollout step ``step``'s transition: the BC value at the
+    last input frame's timestamp. With zero-order-hold series (the synthetic
+    generator, data/synthetic.py) this is EXACT — the series' column t holds
+    the inflow of interval (t, t+1]; with instantaneous-sample series (Zenodo
+    pickles) it is the left-endpoint rule, comparable in error to the
+    reference's midpoint. Used by the mass-conservation loss."""
+    return bc_window(graph, step)[:, -1]
 
 
 def inject_bc(x_dynamic: jax.Array, graph: FloodGraph, window: jax.Array) -> jax.Array:

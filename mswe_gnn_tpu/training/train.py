@@ -25,7 +25,7 @@ import optax
 from mswe_gnn_tpu.graph import FloodGraph, concat_graphs, stack_graphs
 from mswe_gnn_tpu.training import loss as loss_lib
 from mswe_gnn_tpu.training.rollout import (
-    bc_midpoint,
+    bc_step_inflow,
     bc_window,
     inject_bc,
     rollout,
@@ -230,7 +230,8 @@ def pushforward_loss(
                 type_loss=opts.type_loss,
                 only_where_water=opts.only_where_water,
                 multiscale=multiscale,
-                bc_now=bc_midpoint(g, t) if opts.conservation != 0.0 else None,
+                bc_now=(bc_step_inflow(g, t)
+                        if opts.conservation != 0.0 else None),
                 conservation=opts.conservation,
             )
             x_next = shift_prediction(x_dyn, pred, g.previous_t)

@@ -69,3 +69,45 @@ def test_synthetic_solver_mass_balance():
     # within 15% at the end (explicit solver + sampling)
     assert stored[-1] > 0
     np.testing.assert_allclose(stored[-1], cum_inflow[-1], rtol=0.15)
+
+
+def test_bc_alignment_ground_truth_conserves_mass():
+    """Regression for the zero-order-hold BC alignment (GENERATOR_VERSION 2,
+    data/synthetic.py): on ground-truth transitions the conservation residual
+    computed with ``bc_step_inflow`` must vanish at EVERY rollout step —
+    including step 0, where a one-step-stale BC series makes the first wet
+    frame structurally unpredictable (round 1 measured CSI(step 0) == 0 and a
+    lagging wet front throughout the rollout)."""
+    import jax.numpy as jnp
+
+    from mswe_gnn_tpu.training.loss import conservation_residual
+    from mswe_gnn_tpu.training.rollout import (
+        bc_step_inflow, bc_window, inject_bc, shift_prediction,
+    )
+
+    rec = generate_simulation_record(7, nx=12, ny=12, num_scales=2,
+                                     total_hours=10, substeps=40)
+    scalers = fit_dataset_scalers([rec], SCALERS)
+    proc = process_record(rec, scalers)
+    spec = make_spec(rec.mesh, len(rec.mesh.ghosts.ghost_nodes), pad_multiple=8)
+    g = to_temporal_samples(proc, spec, previous_t=2, rollout_steps=-1)[0]
+    steps = int(g.y.shape[-1])
+    x_dyn = g.x_dynamic
+    worst, biggest_inflow = 0.0, 0.0
+    for t in range(steps):
+        x_inj = inject_bc(x_dyn, g, bc_window(g, jnp.asarray(t)))
+        input_wd = x_inj[:, -2::2]                       # last h column [N,1]
+        target = g.y[..., t]
+        res = float(conservation_residual(
+            target[:, :1], input_wd, g, bc_step_inflow(g, jnp.asarray(t))))
+        inflow_1e6 = float(
+            (bc_step_inflow(g, jnp.asarray(t)) * g.bc_edge_length
+             * g.bc_mask).sum()) * 60.0 * float(g.temporal_res) / 1e6
+        worst = max(worst, abs(res))
+        biggest_inflow = max(biggest_inflow, inflow_1e6)
+        # teacher-forced shift, exactly like pushforward training
+        x_dyn = shift_prediction(x_inj, target, g.previous_t)
+    assert biggest_inflow > 0.01, "degenerate hydrograph"
+    # solver flux clipping loses a little mass; residual must be orders of
+    # magnitude below the step inflow (a one-step-stale series gives ~100%)
+    assert worst <= 0.02 * biggest_inflow, (worst, biggest_inflow)
