@@ -13,6 +13,16 @@ import os
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "unknown"
+    if platform == "cpu":
+        # XLA:CPU AOT results bake in host CPU features (-march=native
+        # equivalents); a cache written on one machine spams feature-mismatch
+        # errors (and risks SIGILL) on another. CPU compiles are fast —
+        # the persistent cache only pays for itself on the TPU tunnel.
+        return
     cache_dir = cache_dir or os.environ.get(
         "MSWE_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -13,6 +13,7 @@ compat.torch_data (Zenodo datasets).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -224,11 +225,43 @@ def run_training(cfg: Dict, out_dir: str,
     opts = trainer_options(cfg)
     multiscale = cfg["models"]["model_type"] == "MSGNN"
     mesh = None
+    # parallel: {mode: gspmd|ring_halo, data: N, graph: M}
+    #   gspmd     — XLA-inserted collectives from named shardings (default)
+    #   ring_halo — hand-scheduled boundary-row halo exchange per hop
+    #               (parallel/dist_swegnn.py); large-single-mesh regime:
+    #               every sample must share one mesh topology (the
+    #               reference's dijkring fine-tune, config_finetune.yaml)
     par = cfg.get("parallel") or {}
-    if int(par.get("data", 1)) * int(par.get("graph", 1)) > 1:
+    n_data, n_graph = int(par.get("data", 1)), int(par.get("graph", 1))
+    mode = par.get("mode", "gspmd")
+    if mode == "ring_halo" and n_graph > 1:
+        from mswe_gnn_tpu.parallel.dist_train import (
+            make_dist_apply_fn, prepare_ring_graphs)
         from mswe_gnn_tpu.parallel.sharding import make_mesh
 
-        mesh = make_mesh(int(par.get("data", 1)), int(par.get("graph", 1)))
+        dist_apply = None
+        if multiscale:
+            train, _ = prepare_ring_graphs(train, n_graph)
+            val, _ = prepare_ring_graphs(val, n_graph)
+            test, _ = prepare_ring_graphs(test, n_graph)
+            dist_apply = make_dist_apply_fn(make_mesh(n_data, n_graph),
+                                            model_cfg, train[0], n_graph)
+        if dist_apply is None:
+            print("ring_halo unavailable (non-MSGNN model or ring plan "
+                  "failure); falling back to GSPMD")
+            mode = "gspmd"
+        else:
+            apply_fn = dist_apply
+            if opts.batch_size != 1:
+                # one partitioned graph per step: the halo plans are built
+                # for the single-mesh template, not a batched union
+                print("ring_halo: forcing batch_size=1")
+                opts = dataclasses.replace(opts, batch_size=1)
+            print(f"ring-halo graph parallelism: {n_graph}-way")
+    if mode == "gspmd" and n_data * n_graph > 1:
+        from mswe_gnn_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(n_data, n_graph)
         print(f"device mesh: data={mesh.shape['data']} x "
               f"graph={mesh.shape['graph']}")
     tr = Trainer(apply_fn, model_cfg, params, opts, train, val,
