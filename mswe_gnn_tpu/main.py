@@ -115,7 +115,20 @@ def prepare_data(cfg: Dict) -> Tuple[List[FloodGraph], List[FloodGraph],
         train_records, val_records, test_records = _load_reference_split(dp)
         records = train_records + val_records + test_records
     else:
-        records = _generate_cached(sd, dp["temporal_res"])
+        if dp.get("map_folder"):
+            # raw D-HYDRO map-NetCDF folder (data/netcdf.py): solver outputs
+            # + overview.csv timings, no pickles needed
+            from mswe_gnn_tpu.data.netcdf import load_map_folder
+
+            records = load_map_folder(
+                dp["map_folder"], dp["temporal_res"],
+                num_scales=sd.get("num_scales", 1),
+                overview_file=dp.get("overview_file"),
+                dem_folder=dp.get("dem_folder"),
+                hydrograph_folder=dp.get("hydrograph_folder"),
+                limit=dp.get("train_size"))
+        else:
+            records = _generate_cached(sd, dp["temporal_res"])
 
         n = len(records)
         n_test = max(1, int(round(n * 0.2)))
