@@ -99,6 +99,69 @@ def _setup_cache():
     enable_compilation_cache()
 
 
+def measure_gather_rate(n_rows=23168, feat=64, reps=200, seed=0):
+    """Measured random-row-gather rate (rows/s) on THIS chip — the roofline
+    the hop kernels are judged against (BASELINE.md: >=80% of roofline).
+
+    The hop's hot op is a row gather of the [N, F] state per ELL slot; on
+    v5e it is row-count-bound (~0.57 G rows/s, bf16 == f32 — ROADMAP.md
+    profile). An in-jit scan amortizes dispatch (single dispatch ~25 ms on
+    the remote-execution platform); the chained sum makes iterations
+    data-dependent so XLA cannot elide them."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n_rows, feat)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, n_rows, n_rows), jnp.int32)
+
+    @jax.jit
+    def run(x, idx):
+        def body(carry, _):
+            g = jnp.take(x + carry, idx, axis=0)
+            return carry + g[0, 0], None
+
+        out, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=reps)
+        return out
+
+    float(run(x, idx))                       # compile
+    t0 = time.time()
+    float(run(x, idx))
+    dt = time.time() - t0
+    rate = n_rows * reps / dt
+    log(f"gather microbench: {n_rows} rows x {reps} reps in {dt:.3f}s "
+        f"-> {rate/1e9:.3f} G rows/s")
+    return rate
+
+
+def count_gather_rows(sample, cfg, steps: int) -> int:
+    """Rows gathered per rollout by the hop path (the roofline denominator).
+
+    Counted: per processor layer on scale s with padded node count N_s and
+    global slot width D — K hops x D slot gathers of N_s rows, plus the
+    slot-major flux's D gathers of the src projection; per transfer level —
+    pooling (D_pool x N_coarse) and the un-pool intra layer's hop + flux
+    (2 x D_unpool x N_fine). Encoders/decoders/elementwise traffic is NOT
+    counted — this is the gather floor, not total HBM time."""
+    spec = sample.spec
+    L = spec.num_scales
+    n = [int(spec.node_ptr[i + 1] - spec.node_ptr[i]) for i in range(L)]
+    D = int(sample.in_edge_table.shape[1])
+    d_pool = int(sample.pool_table.shape[1]) if sample.pool_table is not None else 0
+    d_unpool = (int(sample.unpool_table.shape[1])
+                if sample.unpool_table is not None else 0)
+    ks = list(cfg.k_schedule)
+    rows = 0
+    for i in range(L - 1):                     # downsweep processors
+        rows += (ks[i] * D + D) * n[i]
+        rows += d_pool * n[i + 1]              # mean-pool to the next scale
+    for i in range(L):                         # upsweep processors
+        s = L - 1 - i
+        rows += (ks[L - 1 + i] * D + D) * n[s]
+    for lvl in range(L - 1):                   # un-pool intra layers (K=1)
+        rows += 2 * d_unpool * n[lvl]
+    return rows * steps
+
+
 def bench_training(cfg, params, apply_fn, sample, mesh):
     """Optional training-throughput measurement (BENCH_TRAIN=1): jitted
     pushforward train step (rollout_steps=6, batch from BENCH_BATCH)."""
@@ -187,7 +250,22 @@ def main():
         "seconds_per_simulation": round(t / batch, 4),
         "model": "MSGNN K=5 F=64 (dk15-class)",
     }
-    if os.environ.get("BENCH_TRAIN"):
+    # gather roofline: measured random-row-gather rate on this chip vs the
+    # rows the rollout's hop path must gather (BASELINE.md >=80% target)
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1":
+        rate = measure_gather_rate()
+        rows = count_gather_rows(sample, cfg, T)
+        floor_s = rows / rate
+        detail.update({
+            "gather_rows_per_rollout": int(rows),
+            "gather_rate_rows_per_sec": round(rate, 0),
+            "gather_roofline_seconds": round(floor_s, 4),
+            "pct_of_gather_roofline": round(100.0 * floor_s / (t / batch), 1),
+        })
+        log(f"gather roofline: {rows/1e6:.1f}M rows -> floor {floor_s:.3f}s, "
+            f"at {detail['pct_of_gather_roofline']}% of roofline")
+    # training throughput is part of the default headline (VERDICT r1 #3)
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
         detail.update(bench_training(cfg, params, apply_fn, sample, mesh))
     print(json.dumps({
         "metric": "edge_messages_per_sec_per_chip",
