@@ -198,9 +198,12 @@ def trainer_options(cfg: Dict) -> TrainerOptions:
 
 def evaluate(apply_fn, model_cfg, params, test: List[FloodGraph],
              opts: TrainerOptions, out_dir: Optional[str] = None,
-             numerical_times: Optional[List[float]] = None) -> Dict:
+             numerical_times: Optional[List[float]] = None,
+             test_records=None, render: bool = True) -> Dict:
     """Timed full-rollout test evaluation + spatial analysis
-    (reference main.py:138-166)."""
+    (reference main.py:138-166). With ``test_records`` (the SimulationRecords
+    carrying the meshes) and ``render``, also writes the reference's rollout
+    figure set for the best/worst simulations (reference main.py:171-181)."""
     import jax
 
     rollouts, times = [], []
@@ -219,7 +222,41 @@ def evaluate(apply_fn, model_cfg, params, test: List[FloodGraph],
     summary = analysis.summary()
     if out_dir:
         analysis.save_reports(out_dir)
+        if render and test_records is not None:
+            _render_rollout_reports(analysis, rollouts, test, test_records,
+                                    out_dir)
     return summary
+
+
+def _render_rollout_reports(analysis, rollouts, test, test_records,
+                            out_dir: str) -> None:
+    """Best/worst-simulation figure set (reference main.py:171-181 +
+    PlotRollout panels, utils/visualization.py:515-1156): rollout frames,
+    FAT, CSI/F1, Froude, mass-conservation panel; videos for the best one."""
+    from mswe_gnn_tpu.utils.visualization import PlotRollout
+
+    rank = analysis.ranking()
+    cons = analysis.mass_conservation_series()
+    for label in ("best", "worst"):
+        i = rank[label]
+        rec = test_records[i]
+        g = test[i]
+        pr = PlotRollout(rec.mesh, rollouts[i], np.asarray(g.y),
+                         temporal_res=float(rec.temporal_res),
+                         node_ptr=np.asarray(g.spec.node_ptr))
+        t_wet = int(np.argmax(np.asarray(g.y)[:rec.mesh.meshes[0].num_faces,
+                                              0].sum(0)))
+        pr.frame(t_wet, out_path=os.path.join(out_dir, f"rollout_{label}.png"))
+        pr.fat_comparison(out_path=os.path.join(out_dir, f"fat_{label}.png"))
+        pr.csi_f1_panel(out_path=os.path.join(out_dir, f"csi_f1_{label}.png"))
+        pr.froude_map(out_path=os.path.join(out_dir, f"froude_{label}.png"))
+        pr.conservation_panel(
+            cons[i], inflow_series=analysis.inflow_volume_series(i),
+            out_path=os.path.join(out_dir, f"conservation_{label}.png"))
+        if label == "best":
+            pr.create_video(os.path.join(out_dir, "rollout_best.gif"))
+            pr.create_multiscale_video(
+                os.path.join(out_dir, "rollout_best_multiscale.gif"))
 
 
 def run_training(cfg: Dict, out_dir: str,
@@ -310,7 +347,8 @@ def run_training(cfg: Dict, out_dir: str,
 
     summary = evaluate(apply_fn, model_cfg, tr.best_params, test, opts,
                        out_dir=out_dir,
-                       numerical_times=[r.solver_seconds for r in test_records])
+                       numerical_times=[r.solver_seconds for r in test_records],
+                       test_records=test_records)
     summary["n_params"] = count_params(tr.best_params)
     logger.summary(summary)
     logger.close()
@@ -325,7 +363,8 @@ def run_eval(cfg: Dict, ckpt: str, out_dir: str) -> Dict:
     params = restore_params_only(ckpt, params)
     summary = evaluate(apply_fn, model_cfg, params, test, trainer_options(cfg),
                        out_dir=out_dir,
-                       numerical_times=[r.solver_seconds for r in test_records])
+                       numerical_times=[r.solver_seconds for r in test_records],
+                       test_records=test_records)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)

@@ -85,8 +85,10 @@ class SpatialAnalysis:
             fs = g.spec.node_slice(0)
             series = []
             for t in range(1, T):
-                bc_now = (np.asarray(g.bc_values)[:, g.previous_t + t - 1]
-                          + np.asarray(g.bc_values)[:, g.previous_t + t]) / 2.0
+                # the injected value of rollout step t — exact interval
+                # inflow for zero-order-hold series (training's
+                # bc_step_inflow; left endpoint for instantaneous series)
+                bc_now = np.asarray(g.bc_values)[:, g.previous_t + t - 1]
                 full_prev = np.zeros((g.num_nodes, 1), np.float32)
                 full_next = np.zeros((g.num_nodes, 1), np.float32)
                 full_prev[fs] = pred[:, 0:1, t - 1]
@@ -96,6 +98,18 @@ class SpatialAnalysis:
                     jnp.asarray(bc_now))))
             out.append(np.asarray(series))
         return out
+
+    def inflow_volume_series(self, i: int) -> np.ndarray:
+        """Per-step inflow volume [1e6 m^3] of simulation ``i`` (for the
+        normalized conservation panel; reference get_inflow_volume,
+        utils/dataset.py:577-591)."""
+        g = self.graphs[i]
+        bc = np.asarray(g.bc_values)
+        L = np.asarray(g.bc_edge_length) * np.asarray(g.bc_mask)
+        T = self.preds[i].shape[-1]
+        cols = [g.previous_t + t - 1 for t in range(1, T)]
+        return np.asarray([(bc[:, c] * L).sum() * 60.0 * float(g.temporal_res)
+                           for c in cols]) / 1e6
 
     def ranking(self) -> Dict[str, int]:
         """Best/worst simulation by water-depth rollout loss
@@ -158,6 +172,41 @@ class SpatialAnalysis:
         fig.tight_layout()
         fig.savefig(os.path.join(out_dir, "rollout_loss_box.png"), dpi=120)
         plt.close(fig)
+
+        # F1 curves (companion to CSI; reference SpatialAnalysis figures)
+        fig, axes = plt.subplots(1, len(self.thresholds), figsize=(11, 4))
+        axes = np.atleast_1d(axes)
+        for ax, tau in zip(axes, self.thresholds):
+            curves = self.f1_curves(tau)
+            t = np.arange(curves.shape[1])
+            mean, std = np.nanmean(curves, 0), np.nanstd(curves, 0)
+            ax.plot(t, mean, marker="o", lw=2, color="tab:green")
+            ax.fill_between(t, mean - std, mean + std, alpha=0.3,
+                            color="tab:green")
+            ax.set_title(f"F1 @ {tau} m")
+            ax.set_xlabel("rollout step")
+            ax.set_ylim(0, 1)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "f1_curves.png"), dpi=120)
+        plt.close(fig)
+
+        # DL-vs-numerical execution-time boxplots (reference SpatialAnalysis
+        # :311-562 summary figures — the speed-up story at a glance)
+        if self.prediction_times:
+            cols = [np.asarray(self.prediction_times)]
+            labels = ["surrogate"]
+            if self.numerical_times and np.asarray(self.numerical_times).max() > 0:
+                cols.append(np.asarray(self.numerical_times))
+                labels.append("numerical solver")
+            fig, ax = plt.subplots(figsize=(5, 4))
+            ax.boxplot(cols, tick_labels=labels)
+            ax.set_yscale("log")
+            ax.set_ylabel("seconds per simulation")
+            ax.set_title("execution time: surrogate vs numerical")
+            fig.tight_layout()
+            fig.savefig(os.path.join(out_dir, "execution_times_box.png"),
+                        dpi=120)
+            plt.close(fig)
 
         cons = self.mass_conservation_series()
         fig, ax = plt.subplots(figsize=(6, 4))

@@ -79,10 +79,18 @@ class PlotRollout:
     """
 
     def __init__(self, mesh: MultiscaleMesh, pred: np.ndarray, real: np.ndarray,
-                 temporal_res: float = 60.0):
+                 temporal_res: float = 60.0, node_ptr=None):
         self.finest = mesh.meshes[0]
         self.mesh = mesh
         n0 = self.finest.num_faces
+        # full multiscale arrays (for the per-scale video); finest views below.
+        # ``node_ptr`` gives the per-scale block offsets of ``pred``/``real``
+        # — pass the graph spec's (PADDED) pointers when the arrays come from
+        # a padded FloodGraph; defaults to the raw mesh pointers.
+        self.node_ptr = np.asarray(node_ptr if node_ptr is not None
+                                   else mesh.node_ptr)
+        self.pred_all = np.asarray(pred)
+        self.real_all = np.asarray(real)
         self.pred = np.asarray(pred)[:n0]
         self.real = np.asarray(real)[:n0]
         self.temporal_res = temporal_res
@@ -147,6 +155,135 @@ class PlotRollout:
             fig.savefig(out_path, dpi=110)
             plt.close(fig)
         return fig
+
+    def csi_f1_panel(self, thresholds=(0.05, 0.3),
+                     out_path: Optional[str] = None):
+        """CSI and F1 over the rollout for this simulation
+        (reference PlotRollout._plot_metric, visualization.py:1087-1116)."""
+        import jax.numpy as jnp
+
+        from mswe_gnn_tpu.utils.metrics import get_csi, get_f1
+
+        p, r = jnp.asarray(self.pred), jnp.asarray(self.real)
+        m = jnp.ones(p.shape[0])
+        tv = np.arange(p.shape[-1]) * self.temporal_res / 60.0
+        fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+        for ax, name, fn in ((axes[0], "CSI", get_csi), (axes[1], "F1", get_f1)):
+            for tau in thresholds:
+                ax.plot(tv, np.asarray(fn(p, r, m, water_threshold=tau)),
+                        marker="o", ms=3, label=f"{name}_{tau}")
+            ax.set_xlabel("Time [h]")
+            ax.set_ylabel(f"{name} score")
+            ax.set_ylim(0, 1)
+            ax.grid(alpha=0.4)
+            ax.legend(loc=4)
+        fig.tight_layout()
+        if out_path:
+            fig.savefig(out_path, dpi=110)
+            plt.close(fig)
+        return fig
+
+    def froude_map(self, t: Optional[int] = None,
+                   out_path: Optional[str] = None):
+        """Froude number maps pred vs real vs difference at time ``t``
+        (defaults to the wettest frame; reference compare_Froude :863,
+        get_Froude misc.py:50-54; velocity recovered as |q| / h)."""
+        g = 9.81
+
+        def froude(arr_t):
+            h, q = arr_t[:, 0], arr_t[:, 1]
+            v = np.where(h > 1e-6, q / np.maximum(h, 1e-6), 0.0)
+            fr = np.where(h > 0, v / np.sqrt(g * np.maximum(h, 1e-9)), 0.0)
+            return fr
+
+        if t is None:
+            t = int(np.argmax(self.real[:, 0].sum(0)))
+        fr_p, fr_r = froude(self.pred[..., t]), froude(self.real[..., t])
+        vmax = float(max(fr_r.max(), fr_p.max(), 1e-6))
+        fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+        plot_map(self.finest, fr_p, ax=axes[0], cmap="viridis",
+                 title=f"predicted Froude (t={t})", vmin=0, vmax=vmax)
+        plot_map(self.finest, fr_r, ax=axes[1], cmap="viridis",
+                 title="simulated Froude", vmin=0, vmax=vmax)
+        diff = fr_p - fr_r
+        lim = max(abs(diff).max(), 1e-6)
+        plot_map(self.finest, diff, ax=axes[2], cmap="RdBu_r",
+                 title="difference", vmin=-lim, vmax=lim)
+        fig.tight_layout()
+        if out_path:
+            fig.savefig(out_path, dpi=110)
+            plt.close(fig)
+        return fig
+
+    def conservation_panel(self, residual_series: np.ndarray,
+                           inflow_series: Optional[np.ndarray] = None,
+                           out_path: Optional[str] = None):
+        """Mass-conservation error over the rollout (reference
+        _plot_mass_conservation :1118): per-step signed residual and, when
+        the inflow volume series is given, the cumulative error normalized
+        by cumulative inflow."""
+        res = np.asarray(residual_series, float)         # [T-1], 1e6 m^3
+        tv = (np.arange(len(res)) + 1) * self.temporal_res / 60.0
+        fig, ax = plt.subplots(figsize=(7, 4))
+        ax.plot(tv, res, marker="o", ms=3, label=r"per $\Delta$t [1e6 m$^3$]")
+        if inflow_series is not None:
+            inflow = np.maximum(np.asarray(inflow_series, float)[:len(res)],
+                                1e-12)
+            cum = np.cumsum(res) / np.cumsum(inflow)
+            ax.plot(tv, cum, lw=2, label="cumulative / cumulative inflow [-]")
+        ax.set_title("Mass conservation")
+        ax.set_xlabel("Time [h]")
+        ax.set_ylabel("Volume error")
+        ax.grid(alpha=0.4)
+        ax.legend()
+        fig.tight_layout()
+        if out_path:
+            fig.savefig(out_path, dpi=110)
+            plt.close(fig)
+        return fig
+
+    def create_multiscale_video(self, out_path: str, variable: int = 0,
+                                fps: int = 4, predicted: bool = True):
+        """Animated per-scale view of the hierarchy over the rollout
+        (reference create_multiscale_video :965): one panel per scale,
+        showing how the V-cycle's coarse scales see the flood."""
+        arr = self.pred_all if predicted else self.real_all
+        L = self.mesh.num_scales
+        T = arr.shape[-1]
+        nptr = self.node_ptr
+        vmax = float(max(arr[: nptr[1], variable].max(), 1e-6))
+        fig, axes = plt.subplots(1, L, figsize=(5 * L, 5))
+        axes = np.atleast_1d(axes)
+        scs = []
+        for s, (m, ax) in enumerate(zip(self.mesh.meshes, axes)):
+            block = arr[nptr[s]: nptr[s] + m.num_faces, variable, 0].copy()
+            block[block == 0] = np.nan
+            size = max(2.0, 4e4 / max(m.num_faces, 1))
+            sc = ax.scatter(m.face_xy[:, 0], m.face_xy[:, 1], c=block, s=size,
+                            marker="s", cmap="Blues", vmin=0, vmax=vmax, lw=0)
+            ax.set_aspect("equal")
+            ax.set_title(f"scale {s} ({m.num_faces} cells)")
+            ax.set_xticks([]), ax.set_yticks([])
+            scs.append(sc)
+        ttl = fig.suptitle("t = 0")
+
+        def update(t):
+            for s, (sc, m) in enumerate(zip(scs, self.mesh.meshes)):
+                block = arr[nptr[s]: nptr[s] + m.num_faces, variable, t].copy()
+                block[block == 0] = np.nan
+                sc.set_array(block)
+            ttl.set_text(f"t = {t} ({t * self.temporal_res / 60:.0f} h)")
+            return scs
+
+        anim = animation.FuncAnimation(fig, update, frames=T, blit=False)
+        if out_path.endswith(".mp4") and animation.writers.is_available("ffmpeg"):
+            anim.save(out_path, writer="ffmpeg", fps=fps)
+        else:
+            if out_path.endswith(".mp4"):
+                out_path = out_path[:-4] + ".gif"
+            anim.save(out_path, writer=animation.PillowWriter(fps=fps))
+        plt.close(fig)
+        return out_path
 
     def create_video(self, out_path: str, variable: int = 0, fps: int = 4):
         """Animated rollout (reference create_video :896 / save_video :1079).
