@@ -70,6 +70,17 @@ def build_bench_problem(nx=152, ny=152, num_scales=3, previous_t=3, T=48,
         num_node_features=g.x_static.shape[1] + g.x_dynamic.shape[1],
         num_edge_features=g.edge_attr.shape[1], num_scales=num_scales,
         previous_t=previous_t)
+    if os.environ.get("BENCH_BAND", "0") == "1":
+        # banded MXU hop: one-hot matmuls replace the gather-unit row gathers
+        # (ops/band_hop.py). Bit-exact on hardware but measured at ~parity
+        # with XLA's fused gather at F=64 (180 vs 164 us/hop: the 64-wide
+        # output leaves half the MXU idle and the one-hot build costs VPU
+        # time comparable to the matmul — ROADMAP.md round-2 profile), so the
+        # gather path stays the default; flip on for F>=128 models.
+        from mswe_gnn_tpu.ops.band_hop import attach_band_plan
+
+        sample = attach_band_plan(sample)
+        log(f"band plan: {sample.band_meta}")
     log(f"mesh: {n} nodes ({[m.num_faces for m in mesh.meshes]}), "
         f"{mesh.edge_ptr[-1]} edges, params={count_params(params)}")
     return cfg, params, apply_fn, sample, mesh
@@ -170,6 +181,8 @@ def bench_training(cfg, params, apply_fn, sample, mesh):
                                              train_step)
 
     batch_n = int(os.environ.get("BENCH_BATCH", "1"))
+    # the banded hop kernel is inference-only (no custom VJP yet)
+    sample = sample.replace(band_plan=None, band_meta=None)
     batch = concat_graphs([sample] * batch_n) if batch_n > 1 else sample
     # remat: the 6-step pushforward at dk15 scale stores ~126 GB of
     # activations without it (measured XLA OOM on 16 GB HBM at batch 4)

@@ -172,8 +172,17 @@ class FloodGraph:
     # the while loop itself, and recomputing them every step costs ~20% of a
     # dk15 rollout (profiled: s32 index gathers at 154 us x 8 per step).
     ell_cache: Optional[dict] = None
+    # banded-gather plan (ops/band_hop.py): per-scale window starts and
+    # window-relative slot sources for the MXU one-hot-matmul hop kernel.
+    # {"scales": (None | {"win": [T], "idx_rel": [N_s, D]}, ...)}. Attached
+    # host-side by ops.band_hop.attach_band_plan (needs concrete indices);
+    # the static window widths live in ``band_meta``.
+    band_plan: Optional[dict] = None
 
     # --- static (aux) fields ---
+    # per-scale band window widths (None = no plan for that scale); part of
+    # the jit cache key, matching ``band_plan``'s pytree structure
+    band_meta: Optional[Tuple] = struct.field(pytree_node=False, default=None)
     spec: GraphSpec = struct.field(pytree_node=False, default=None)
     previous_t: int = struct.field(pytree_node=False, default=1)
     bc_kind: int = struct.field(pytree_node=False, default=2)

@@ -178,10 +178,14 @@ def apply_gnn(params: dict, cfg: GNNConfig, graph: FloodGraph) -> jax.Array:
         if cfg.type_gnn == "SWEGNN":
             if cache is not None:
                 tab, tmask, srcs, easl = cache["scales"][0]
+                bp = (graph.band_plan["scales"][0]
+                      if graph.band_plan is not None else None)
+                bw = graph.band_meta[0] if graph.band_meta is not None else None
                 h = apply_swegnn(conv, cfg.swegnn_cfg(), x_s, x_d, src, dst,
                                  edge_mask=emask, agg_table=tab,
                                  agg_mask=tmask, ea_slots=list(easl),
-                                 src_slot_table=srcs)
+                                 src_slot_table=srcs,
+                                 band_plan=bp, band_w=bw)
             else:
                 h = apply_swegnn(conv, cfg.swegnn_cfg(), x_s, x_d, src, dst,
                                  edge_attr=edge_attr, edge_mask=emask,

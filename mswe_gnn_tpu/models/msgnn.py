@@ -275,6 +275,12 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
             _agg_cache[i] = (tab, graph.in_edge_mask[nsl], ea_slots, None)
         return _agg_cache[i]
 
+    def scale_band(i):
+        """Banded MXU-hop plan for scale i (ops/band_hop.py), if attached."""
+        if graph.band_plan is None or graph.band_meta is None:
+            return None, None
+        return graph.band_plan["scales"][i], graph.band_meta[i]
+
     def intra_edges(lvl):
         """(coarse, fine) transfer endpoints, local to their scale blocks
         (rows = (coarse, fine) as in the reference, models/gnn.py:310)."""
@@ -289,12 +295,14 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
         tab, tmask, easl, srcs = scale_agg(i)
         pcfg = cfg.processor_cfg(ks[i])
         proc = params["gnn_processor"][i]
+        bp, bw = scale_band(i)
         xd_b[i] = apply_swegnn_block(proc, pcfg,
                                      xs_b[i], xd_b[i], xs_b[i], xd_b[i],
                                      src, dst, edge_attr=ea, edge_mask=em,
                                      same_block=True,
                                      agg_table=tab, agg_mask=tmask,
-                                     ea_slots=easl, src_slot_table=srcs)
+                                     ea_slots=easl, src_slot_table=srcs,
+                                     band_plan=bp, band_w=bw)
         x_down_b[i] = xd_b[i]
         coarse, fine, imask = intra_edges(i)
         if cfg.learned_pooling:
@@ -332,6 +340,7 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
         gnn_id = L - 1 + i
         src, dst, ea, em = scale_edges(scale)
         tab, tmask, easl, srcs = scale_agg(scale)
+        bp, bw = scale_band(scale)
         xd_b[scale] = apply_swegnn_block(params["gnn_processor"][gnn_id],
                                          cfg.processor_cfg(ks[gnn_id]),
                                          xs_b[scale], xd_b[scale],
@@ -339,7 +348,8 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
                                          src, dst, edge_attr=ea, edge_mask=em,
                                          same_block=True,
                                          agg_table=tab, agg_mask=tmask,
-                                         ea_slots=easl, src_slot_table=srcs)
+                                         ea_slots=easl, src_slot_table=srcs,
+                                         band_plan=bp, band_w=bw)
         x_up_b[scale] = xd_b[scale]
 
         if i < L - 1:

@@ -231,6 +231,8 @@ def apply_swegnn_block(
     agg_mask: Optional[jax.Array] = None,
     ea_slots=None,
     src_slot_table: Optional[jax.Array] = None,
+    band_plan: Optional[dict] = None,
+    band_w: Optional[int] = None,
 ) -> jax.Array:
     """One SWEGNN layer on block-local arrays -> updated dst block [Nd, F].
 
@@ -300,6 +302,27 @@ def apply_swegnn_block(
             out = out.astype(cd)
             if not same_block:
                 out_src = out_src.astype(cd)
+        if band_plan is not None and band_w is not None and same_block:
+            # banded MXU hop (ops/band_hop.py): the D slot gathers become
+            # one-hot matmuls against a VMEM-resident state window — no
+            # gather-unit traffic. Plan attached host-side (attach_band_plan).
+            from mswe_gnn_tpu.ops.band_hop import band_hop, supported
+
+            if supported(n_dst, out.shape[1], out.dtype):
+                s_tab = jnp.concatenate(s_slots, axis=1)         # [Nd, D*F]
+                ws, we = band_w
+                for k in range(cfg.K):
+                    agg = band_hop(out, s_tab, band_plan["idx_rel"],
+                                   band_plan["win"], ws=ws, we=we,
+                                   with_gradient=cfg.with_gradient,
+                                   upwind=cfg.upwind_mode)
+                    if cfg.with_filter_matrix:
+                        agg = apply_linear(params["filters"][k + 1], agg,
+                                           compute_dtype=cd)
+                    if cd is not None:
+                        agg = agg.astype(cd)
+                    out = out + agg
+                return out.astype(x_d_dst.dtype) if cd is not None else out
         if n_dst <= cfg.flat_hop_threshold and same_block:
             # launch-count path for small blocks: one flat gather + one
             # stacked elementwise reduce per hop (vs D kernels each)
@@ -402,6 +425,8 @@ def apply_swegnn(
     agg_mask: Optional[jax.Array] = None,
     ea_slots=None,
     src_slot_table: Optional[jax.Array] = None,
+    band_plan: Optional[dict] = None,
+    band_w: Optional[int] = None,
 ) -> jax.Array:
     """Whole-graph SWEGNN layer: K hops of learned-flux message passing.
 
@@ -426,7 +451,8 @@ def apply_swegnn(
         dst if lo == 0 else dst - lo,
         edge_attr=edge_attr, edge_mask=edge_mask, same_block=same,
         dst_sorted=dst_sorted, agg_table=agg_table, agg_mask=agg_mask,
-        ea_slots=ea_slots, src_slot_table=src_slot_table)
+        ea_slots=ea_slots, src_slot_table=src_slot_table,
+        band_plan=band_plan, band_w=band_w)
 
     if dst_range is None:
         return block

@@ -1,0 +1,319 @@
+"""Pallas TPU kernel: banded one-hot-matmul SWEGNN hop (MXU gather).
+
+The hop's hot op is a dynamic row gather of the evolving state — XLA lowers
+it to the TPU gather unit, which is row-count-bound at ~0.57 G rows/s on v5e
+(ROADMAP.md profile: 41 us per bf16[23168, 64] gather, ~108 ms of a dk15
+rollout). Mosaic cannot lower general dynamic gathers either, so the round-1
+VMEM-resident kernel (ops/pallas_hop.py) never ran on hardware.
+
+This kernel routes the gather through the MXU instead. Flood meshes are
+planar and (grid row-major / BFS) orderings give them a narrow band profile:
+for a tile of 128 consecutive destination nodes, every neighbour index falls
+inside one W-row window of the node array. The gather of tile t then becomes
+
+    nb_d = onehot_d @ state[win_t : win_t + W]        # [128,W] @ [W,F] (MXU)
+
+with the one-hot built on the VPU in-kernel from the (precomputed) relative
+indices — it never exists in HBM. One pallas_call performs a full hop
+
+    agg[n] = sum_d act(n,d) * (state[n] - state[src[n,d]]) * s[n,d]
+
+(reference hot pair: reference models/gnn.py:414-438) with the whole scale
+block resident in VMEM, fusing the D slot gathers, the wet-front mask, the
+hydraulic gradient and the flux product; only the [N, F] aggregate returns to
+HBM. The K-hop filter matmuls stay in XLA (they are already MXU-shaped).
+
+Numerics: a one-hot matmul accumulated in f32 reproduces each gathered row
+exactly (one nonzero product per output element), so the kernel is bitwise-
+comparable to the XLA slot-gather path up to the f32->bf16 round-trip of the
+gathered values, which is also exact.
+
+Planning (`plan_band`, host-side numpy, once per mesh): per 128-row tile,
+window start = clamp(min neighbour index); masked ELL slots are rewritten to
+the destination node itself (their flux is already zeroed by the slot mask,
+and the diagonal is always in-window). Meshes whose ordering is not band-
+limited (required W > `max_w`) return None and the caller keeps the XLA path.
+
+STATUS (v5e, round 2): hardware-validated bit-exact vs the XLA slot-gather
+path (max abs err 0.0 on dk15-scale data) — the first hop kernel of this
+project that actually runs on TPU. Measured ~180 us/hop on dk15-scale
+directional slots vs ~164 us/hop for XLA's fused gather+flux (4 x 41 us
+fusions, the 0.57 G rows/s gather-rate floor): parity, not a win, because at
+F=64 the one-hot matmul pads the MXU's 128-lane output (2x MAC waste) and
+the in-kernel one-hot build costs VPU time comparable to the matmul
+(measured decomposition: ~100 us for the first 448-wide slot, ~+28 us per
+320-wide additional slot). The kernel wins when F >= 128 (no MXU padding) or
+when the gather unit's rate degrades; it stays integrated behind
+``attach_band_plan`` / BENCH_BAND=1 and the gather path remains production.
+See ROADMAP.md for the full profile.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+# VMEM budget for the resident state block (16 MB/core minus pipeline buffers)
+_VMEM_STATE_BYTES = 12 * 1024 * 1024
+_W_GRAIN = 64            # per-slot window widths are multiples of this
+_W_MAX = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class BandPlan:
+    """Host-computed banded-gather plan for one scale block.
+
+    Every slot source index of tile t falls in one of two windows of the node
+    array: the (tile, slot) *band* window [win[t,d], win[t,d]+ws[d]) — ELL
+    slots group same-direction neighbours (in-edges are source-sorted per
+    node), so each slot's sources cluster far tighter than the union band —
+    or the shared *tail* window [n-we, n) holding the ghost (BC) nodes, which
+    sit at the end of the scale block and are sources for boundary cells
+    anywhere in the mesh (data/meshing.py ghost machinery).
+
+    ``win``      [T, D] int32     band-window start row per (tile, slot)
+    ``idx_rel``  [T*128, D] int32 slot sources relative to the concatenated
+                                  [band_d | tail] window (masked slots -> self)
+    ``ws``       tuple (static)   per-slot band widths (multiples of 64)
+    ``we``       int (static)     tail width (rows), multiple of 128 (0 = none)
+    """
+    win: jax.Array
+    idx_rel: jax.Array
+    ws: Tuple[int, ...]
+    we: int = 0
+
+    @property
+    def num_tiles(self) -> int:
+        return self.win.shape[0]
+
+
+def plan_band(src_ids, slot_mask, n_nodes: int,
+              max_w: int = _W_MAX) -> Optional[BandPlan]:
+    """Build a :class:`BandPlan` for a scale block, or None if not band-limited.
+
+    ``src_ids``  [N, D] block-local slot source-node ids (concrete)
+    ``slot_mask``[N, D] 1.0 for real slots (masked slots alias a real edge and
+                 carry zero flux — their index is rewritten to the diagonal)
+    ``n_nodes``  padded block size; must be a multiple of 128
+    """
+    src = np.asarray(jax.device_get(src_ids)).astype(np.int64)
+    mask = np.asarray(jax.device_get(slot_mask)) > 0
+    n, d_max = src.shape
+    if n != n_nodes or n_nodes % TILE != 0 or n_nodes < TILE:
+        return None
+    own = np.arange(n, dtype=np.int64)[:, None]
+    idx = np.where(mask, src, own)                      # masked slots -> self
+    t = n // TILE
+    tiles = idx.reshape(t, TILE, d_max)
+    own_lo = (np.arange(t, dtype=np.int64) * TILE)[:, None]        # [T, 1]
+
+    def round_w(span):
+        w = -(-span // _W_GRAIN) * _W_GRAIN
+        return min(w, n) if w <= max_w or w <= n else None
+
+    best = None                             # (total, ws, we, win, rel)
+    for we in (0, TILE, 2 * TILE, 4 * TILE):
+        if we >= n:
+            break
+        far = tiles >= n - we                           # tail-window sources
+        # the diagonal is always in-window: masked slots rewrite to self, and
+        # clamping below never pushes a window past its own tile
+        near = np.where(far, own_lo[:, :, None], tiles)
+        lo = np.minimum(near.min(axis=1), own_lo)                   # [T, D]
+        hi = np.maximum(near.max(axis=1), own_lo + TILE - 1)        # [T, D]
+        # widths are per-slot statics; window starts per (tile, slot)
+        ws = []
+        for d in range(d_max):
+            w = round_w(int((hi[:, d] - lo[:, d]).max()) + 1 + 15)
+            if w is None or w > n:
+                ws = None
+                break
+            ws.append(w)
+        if ws is None:
+            continue
+        total = sum(w + we for w in ws)
+        if best is not None and total >= best[0]:
+            continue
+        win = np.minimum(lo, n - np.asarray(ws)[None, :])
+        # sublane-aligned dynamic-slice starts (16 covers bf16 and f32 tiles)
+        win = np.maximum((win // 16) * 16, 0)
+        rel = np.where(far, np.asarray(ws)[None, None, :] + (tiles - (n - we)),
+                       tiles - win[:, None, :])
+        wpe = np.asarray([w + we for w in ws])
+        if rel.min() < 0 or (rel >= wpe[None, None, :]).any():
+            continue
+        best = (total, tuple(ws), we, win, rel)
+    if best is None:
+        return None
+    _, ws, we, win, rel = best
+    return BandPlan(win=jnp.asarray(win, jnp.int32),
+                    idx_rel=jnp.asarray(rel.reshape(n, d_max), jnp.int32),
+                    ws=ws, we=we)
+
+
+def supported(n_nodes: int, feat: int, dtype) -> bool:
+    """VMEM-resident state fits and shapes are tileable."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return (n_nodes % TILE == 0 and feat % 8 == 0
+            and n_nodes * feat * itemsize <= _VMEM_STATE_BYTES)
+
+
+def _hop_kernel(win_ref, idx_ref, s_ref, state_ref, agg_ref, *,
+                ws: Tuple[int, ...], we: int, d_max: int, feat: int,
+                with_gradient: bool, upwind: bool, out_dtype):
+    """One destination tile of one hop.
+
+    win_ref   [T, D] int32 (SMEM, scalar-prefetched window starts)
+    idx_ref   [128, D] int32 window-relative slot sources (VMEM block)
+    s_ref     [128, D*F]     flux table for this tile (VMEM block)
+    state_ref [N, F]         full scale block, VMEM-resident across the grid
+    agg_ref   [128, F]       output aggregate (VMEM block)
+    """
+    t = pl.program_id(0)
+    n = state_ref.shape[0]
+    tail = state_ref[n - we:, :] if we > 0 else None          # ghost window
+    out_dst = state_ref[pl.ds(t * TILE, TILE), :]             # [128, F]
+    dst_act = (jnp.sum(out_dst, axis=1, keepdims=True) != 0)
+
+    acc = jnp.zeros((TILE, feat), jnp.float32)
+    for d in range(d_max):                                    # D small: unrolled
+        w = ws[d]
+        w0 = pl.multiple_of(win_ref[t, d], 16)  # plan aligns window starts
+        window = state_ref[pl.ds(w0, w), :]                   # [W_d, F]
+        if tail is not None:
+            window = jnp.concatenate([window, tail], axis=0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, w + we), 1)
+        onehot = (lanes == idx_ref[:, d:d + 1]).astype(window.dtype)
+        nb = jax.lax.dot_general(
+            onehot, window,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)                                   # exact row select
+        s = s_ref[:, d * feat:(d + 1) * feat]
+        act = jnp.logical_or(
+            jnp.sum(nb, axis=1, keepdims=True) != 0, dst_act)
+        if with_gradient:
+            diff = out_dst - nb
+            if upwind:
+                diff = jnp.maximum(diff, 0.0)
+            msg = diff * s
+        else:
+            msg = s * nb
+        acc = acc + jnp.where(act, msg, 0.0).astype(jnp.float32)
+    agg_ref[:] = acc.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("ws", "we", "with_gradient",
+                                             "upwind", "interpret"))
+def band_hop(state: jax.Array,      # [N, F] scale-block hop state
+             s_tab: jax.Array,      # [N, D*F] flux (slot-major, masked)
+             idx_rel: jax.Array,    # [N, D] window-relative slot sources
+             win: jax.Array,        # [T, D] window starts
+             *, ws: Tuple[int, ...], we: int = 0, with_gradient: bool = True,
+             upwind: bool = False,
+             interpret: Optional[bool] = None) -> jax.Array:
+    """One fused hop -> aggregate [N, F] (pre filter-matmul)."""
+    if interpret is None:  # virtual CPU meshes (tests) run the interpreter
+        interpret = jax.default_backend() == "cpu"
+    n, feat = state.shape
+    d_max = idx_rel.shape[1]
+    t = n // TILE
+    kernel = functools.partial(
+        _hop_kernel, ws=tuple(ws), we=we, d_max=d_max, feat=feat,
+        with_gradient=with_gradient, upwind=upwind, out_dtype=state.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((TILE, d_max), lambda i, win: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d_max * feat), lambda i, win: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # same block every grid step -> fetched into VMEM once
+            pl.BlockSpec((n, feat), lambda i, win: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, feat), lambda i, win: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, feat), state.dtype),
+        interpret=interpret,
+    )(win, idx_rel, s_tab, state)
+
+
+def attach_band_plan(graph, min_nodes: int = 2048,
+                     max_w: int = _W_MAX):
+    """Plan the banded hop for every processor scale of a concrete graph.
+
+    Host-side (numpy; call OUTSIDE jit on a freshly built / batched graph).
+    Scales that are too small (``min_nodes``, where the flat-hop path wins),
+    not band-limited, or too large for VMEM keep plan None — the model falls
+    back to the XLA slot-gather path for those scales. Returns the graph
+    unchanged when nothing is plannable.
+    """
+    if graph.in_edge_table is None or graph.band_plan is not None:
+        return graph
+    spec = graph.spec
+    tab_all = np.asarray(jax.device_get(graph.in_edge_table))
+    mask_all = np.asarray(jax.device_get(graph.in_edge_mask))
+    src_all = np.asarray(jax.device_get(graph.edge_index))[0]
+    plans, meta = [], []
+    node_ptr, edge_ptr = spec.node_ptr, spec.edge_ptr
+    for i in range(spec.num_scales):
+        nsl = slice(node_ptr[i], node_ptr[i + 1])
+        esl = slice(edge_ptr[i], edge_ptr[i + 1])
+        n_s = node_ptr[i + 1] - node_ptr[i]
+        if n_s < min_nodes:
+            plans.append(None)
+            meta.append(None)
+            continue
+        tab = np.maximum(tab_all[nsl] - edge_ptr[i], 0)
+        src_local = src_all[esl] - node_ptr[i]
+        src_ids = src_local[tab]                     # [n_s, D]
+        plan = plan_band(src_ids, mask_all[nsl], n_s, max_w=max_w)
+        if plan is None:
+            plans.append(None)
+            meta.append(None)
+        else:
+            plans.append({"win": plan.win, "idx_rel": plan.idx_rel})
+            meta.append((plan.ws, plan.we))
+    if not any(m is not None for m in meta):
+        return graph
+    return graph.replace(band_plan={"scales": tuple(plans)},
+                         band_meta=tuple(meta))
+
+
+def band_hop_reference(state, s_tab, idx_rel, win, *, ws, we=0,
+                       with_gradient=True, upwind=False):
+    """Pure-jnp emulation of the kernel (tests / CPU fallback)."""
+    n, feat = state.shape
+    d_max = idx_rel.shape[1]
+    win_rep = jnp.repeat(win, TILE, axis=0)                  # [N, D]
+    dst_act = (state.sum(axis=1, keepdims=True) != 0)
+    acc = jnp.zeros((n, feat), jnp.float32)
+    for d in range(d_max):
+        band = idx_rel[:, d] + win_rep[:, d]
+        idx_abs = jnp.where(idx_rel[:, d] < ws[d], band,
+                            idx_rel[:, d] - ws[d] + (n - we))
+        nb = jnp.take(state, idx_abs, axis=0)
+        s = s_tab[:, d * feat:(d + 1) * feat]
+        act = jnp.logical_or(nb.sum(axis=1, keepdims=True) != 0, dst_act)
+        if with_gradient:
+            diff = state - nb
+            if upwind:
+                diff = jnp.maximum(diff, 0.0)
+            msg = diff * s
+        else:
+            msg = s * nb
+        acc = acc + jnp.where(act, msg, 0.0).astype(jnp.float32)
+    return acc.astype(state.dtype)
