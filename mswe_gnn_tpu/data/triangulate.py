@@ -261,5 +261,11 @@ def triangulated_hierarchy(rng: np.random.Generator, dem_fn: Callable,
     poly = generate_polygon(rng, avg_radius=avg_radius)
     if with_dike:
         poly = create_dike(poly, rng)
-    return [triangulate_polygon(poly, target_edge * (2 ** s), dem_fn, rng)
+    # RCM-reorder each scale: CDT output order is insertion order (no band
+    # structure); RCM gives the O(sqrt(N)) band profile the banded MXU hop
+    # kernel plans against and improves gather locality on the XLA path
+    from mswe_gnn_tpu.data.meshing import reorder_mesh
+
+    return [reorder_mesh(triangulate_polygon(poly, target_edge * (2 ** s),
+                                             dem_fn, rng))
             for s in range(num_scales)]
