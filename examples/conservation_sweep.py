@@ -7,6 +7,14 @@ records test CSI / RMSE / conservation error per lambda into
 ``results_repo/conservation_sweep.json``.
 
 Run:  python examples/conservation_sweep.py [--epochs 60] [--lambdas 0,0.0233,0.1]
+
+Full-strength mode (VERDICT r1 #6): run at the accuracy config, warm-started
+from the converged accuracy checkpoint so each lambda needs only a short
+fine-tune instead of a full training run:
+
+  python examples/conservation_sweep.py --config configs/accuracy2.yaml \\
+      --warm-start runs/accuracy2/best --epochs 40 --lr 0.0005 \\
+      --out results_repo/conservation_sweep_full.json
 """
 import argparse
 import copy
@@ -27,11 +35,19 @@ def main(argv=None):
     ap.add_argument("--lambdas", default="0,0.0233,0.1",
                     help="comma-separated conservation weights")
     ap.add_argument("--out", default="results_repo/conservation_sweep.json")
+    ap.add_argument("--warm-start", default=None,
+                    help="checkpoint dir to fine-tune from (accuracy run)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override learning rate (lower for fine-tunes)")
     args = ap.parse_args(argv)
 
     _setup_cache()
     base = read_config(args.config)
     base["trainer_options"]["max_epochs"] = args.epochs
+    if args.warm_start:
+        base["saved_model"] = args.warm_start
+    if args.lr is not None:
+        base["lr_info"]["learning_rate"] = args.lr
     lambdas = [float(x) for x in args.lambdas.split(",")]
 
     rows = []

@@ -294,8 +294,11 @@ def run_training(cfg: Dict, out_dir: str,
             train, _ = prepare_ring_graphs(train, n_graph)
             val, _ = prepare_ring_graphs(val, n_graph)
             test, _ = prepare_ring_graphs(test, n_graph)
-            dist_apply = make_dist_apply_fn(make_mesh(n_data, n_graph),
-                                            model_cfg, train[0], n_graph)
+            dist_apply = make_dist_apply_fn(
+                make_mesh(n_data, n_graph), model_cfg, train[0], n_graph,
+                # overlap halo exchange with interior slot aggregation
+                # (parallel/dist_swegnn.py pack_halo_slots; VERDICT r1 #10)
+                overlap=bool(par.get("overlap", False)))
         if dist_apply is None:
             print("ring_halo unavailable (non-MSGNN model or ring plan "
                   "failure); falling back to GSPMD")

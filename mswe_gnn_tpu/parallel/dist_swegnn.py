@@ -41,7 +41,8 @@ AXIS = "graph"
 
 def build_dist_slot_plan(src_slots: np.ndarray, slot_mask: np.ndarray,
                          num_nodes: int, n_parts: int,
-                         num_src_nodes: Optional[int] = None) -> Optional[dict]:
+                         num_src_nodes: Optional[int] = None,
+                         pack_halo_slots: bool = False) -> Optional[dict]:
     """Host-side ring-halo plan for a node-partitioned ELL slot table.
 
     ``src_slots [N, D]`` holds, for each dst node, the (node-id) sources of
@@ -119,10 +120,27 @@ def build_dist_slot_plan(src_slots: np.ndarray, slot_mask: np.ndarray,
                 s = int(src[gi, d])
                 src_tab[p, i, d] = (s - p * block) if s // block == p else lut[s]
                 out_mask[p, i, d] = 1.0
-    return {"src_tab": src_tab, "slot_mask": out_mask,
+    plan = {"src_tab": src_tab, "slot_mask": out_mask,
             "send_next": sn, "send_prev": sp,
             "halo": h, "block": block, "dst_block": dst_block,
             "n_parts": n_parts}
+    if pack_halo_slots:
+        # per node, move halo references into the trailing slots; the leading
+        # ``n_interior`` slots then reference only local rows so their
+        # aggregation can overlap the boundary ppermutes (see
+        # _dist_layer_local). Callers must permute per-slot side tables
+        # (edge attrs) with the returned ``perm``.
+        is_halo = (src_tab >= block) & (out_mask > 0)
+        perm = np.argsort(is_halo, axis=-1, kind="stable")     # [P, B, D]
+        plan["src_tab"] = np.take_along_axis(src_tab, perm, axis=-1)
+        plan["slot_mask"] = np.take_along_axis(out_mask, perm, axis=-1)
+        packed_halo = np.take_along_axis(is_halo, perm, axis=-1)
+        halo_per_slot = packed_halo.any(axis=(0, 1))           # [D]
+        n_interior = int(np.argmax(halo_per_slot)) if halo_per_slot.any() \
+            else d_max
+        plan["perm"] = perm
+        plan["n_interior"] = n_interior
+    return plan
 
 
 def _halo_concat(x_block: jax.Array, send_next: jax.Array,
@@ -139,7 +157,8 @@ def _halo_concat(x_block: jax.Array, send_next: jax.Array,
 
 def _dist_layer_local(params, cfg: SWEGNNConfig, x_s, x_d, src_tab, smask,
                       ea_slots, send_next, send_prev, axis_size: int,
-                      x_s_src=None, x_d_src=None):
+                      x_s_src=None, x_d_src=None,
+                      n_interior: Optional[int] = None):
     """Per-device body: identical math to the single-device slot path
     (models/swegnn.py apply_swegnn_block), with halo buffers in place of the
     whole-graph arrays.
@@ -147,7 +166,14 @@ def _dist_layer_local(params, cfg: SWEGNNConfig, x_s, x_d, src_tab, smask,
     When ``x_s_src``/``x_d_src`` are given the sources live in a DIFFERENT
     (disjoint) node block — the multiscale un-pooling case: hop updates touch
     only dst rows, so the source-side state is constant across hops and its
-    halo buffer is exchanged once."""
+    halo buffer is exchanged once.
+
+    ``n_interior`` (from a plan built with ``pack_halo_slots=True``) enables
+    communication/compute overlap: slots [0, n_interior) reference only local
+    rows, so their aggregation depends solely on ``out`` — XLA's scheduler can
+    run it while the boundary ``ppermute``s are in flight; only the trailing
+    halo slots wait on the exchange. Zero extra gather work; numerics are a
+    reordering-free identical sum."""
     from mswe_gnn_tpu.models.activations import apply_activation
 
     same_block = x_s_src is None
@@ -194,23 +220,42 @@ def _dist_layer_local(params, cfg: SWEGNNConfig, x_s, x_d, src_tab, smask,
     # when the blocks are disjoint: exchange once)
     buf_const = (None if same_block
                  else _halo_concat(out_src, send_next, send_prev, axis_size))
+
+    def slot_msg(nb, dd, dst_act):
+        act = jnp.maximum(
+            (nb.sum(axis=-1, keepdims=True) != 0).astype(out.dtype), dst_act)
+        if cfg.with_gradient:
+            diff = out - nb
+            if cfg.upwind_mode:
+                diff = jnp.maximum(diff, 0.0)
+            return diff * s_slots[dd] * act
+        return s_slots[dd] * nb * act
+
     for k in range(cfg.K):
-        buf = (_halo_concat(out, send_next, send_prev, axis_size)
-               if same_block else buf_const)
         dst_act = (out.sum(axis=1, keepdims=True) != 0).astype(out.dtype)
         agg = jnp.zeros_like(out)
-        for dd in range(d_max):
-            nb = jnp.take(buf, src_tab[:, dd], axis=0)
-            act = jnp.maximum(
-                (nb.sum(axis=-1, keepdims=True) != 0).astype(out.dtype),
-                dst_act)
-            if cfg.with_gradient:
-                diff = out - nb
-                if cfg.upwind_mode:
-                    diff = jnp.maximum(diff, 0.0)
-                agg = agg + diff * s_slots[dd] * act
-            else:
-                agg = agg + s_slots[dd] * nb * act
+        if same_block and n_interior is not None:
+            # overlap: start the exchange, aggregate halo-free slots from the
+            # local block while it is in flight, then finish with halo slots
+            rows_next = jnp.take(out, send_next, axis=0)
+            rows_prev = jnp.take(out, send_prev, axis=0)
+            fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+            bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+            halo_from_prev = jax.lax.ppermute(rows_next, AXIS, perm=fwd)
+            halo_from_next = jax.lax.ppermute(rows_prev, AXIS, perm=bwd)
+            for dd in range(n_interior):            # local sources only
+                agg = agg + slot_msg(jnp.take(out, src_tab[:, dd], axis=0),
+                                     dd, dst_act)
+            buf = jnp.concatenate([out, halo_from_prev, halo_from_next], 0)
+            for dd in range(n_interior, d_max):
+                agg = agg + slot_msg(jnp.take(buf, src_tab[:, dd], axis=0),
+                                     dd, dst_act)
+        else:
+            buf = (_halo_concat(out, send_next, send_prev, axis_size)
+                   if same_block else buf_const)
+            for dd in range(d_max):
+                agg = agg + slot_msg(jnp.take(buf, src_tab[:, dd], axis=0),
+                                     dd, dst_act)
         if cfg.with_filter_matrix:
             agg = apply_linear(params["filters"][k + 1], agg, compute_dtype=cd)
         out = out + agg
@@ -455,12 +500,19 @@ def reorder_graph_for_ring(graph, n_parts: int = 0):
     return new_graph, perm
 
 
-def build_dist_msgnn_inputs(graph, n_parts: int) -> Optional[dict]:
+def build_dist_msgnn_inputs(graph, n_parts: int,
+                            overlap: bool = False) -> Optional[dict]:
     """Host-side: partition a multiscale ``FloodGraph`` for the distributed
     MSGNN forward — one ring plan per scale (processors) and per transfer
     level (pool: fine->coarse, unpool: coarse->fine). All leaves part-major
     [P, ...]. Returns None when any plan violates ring adjacency (fallback:
-    the GSPMD path) or a scale's padded count is not divisible by P."""
+    the GSPMD path) or a scale's padded count is not divisible by P.
+
+    ``overlap=True`` packs each processor plan's halo references into the
+    trailing slots and adds a top-level ``"overlap"`` tuple (per-scale
+    interior-slot counts). Pop it and pass to
+    ``make_dist_msgnn_forward(..., overlap=...)`` — it is static metadata,
+    not a shardable leaf."""
     spec = graph.spec
     L = spec.num_scales
     node_ptr = np.asarray(spec.node_ptr)
@@ -478,17 +530,23 @@ def build_dist_msgnn_inputs(graph, n_parts: int) -> Optional[dict]:
     iei = np.asarray(graph.intra_edge_index)
     out = {"x_static": [], "x_dynamic": [], "node_mask": [],
            "proc": [], "pool": [], "unpool": []}
+    n_interior = []
     for i in range(L):
         tab = np.maximum(np.asarray(graph.in_edge_table)[
             node_ptr[i]: node_ptr[i + 1]] - edge_ptr[i], 0)
         tmask = np.asarray(graph.in_edge_mask)[node_ptr[i]: node_ptr[i + 1]]
         src_local = ei[0, edge_ptr[i]: edge_ptr[i + 1]] - node_ptr[i]
-        plan = build_dist_slot_plan(src_local[tab], tmask, counts[i], n_parts)
+        plan = build_dist_slot_plan(src_local[tab], tmask, counts[i], n_parts,
+                                    pack_halo_slots=overlap)
         if plan is None:
             return None
         ea = np.asarray(graph.edge_attr)[edge_ptr[i]: edge_ptr[i + 1]]
         ea_slots = (ea[tab] * tmask[..., None]).reshape(
             (n_parts, counts[i] // n_parts) + (tab.shape[1], ea.shape[1]))
+        if overlap:
+            ea_slots = np.take_along_axis(
+                ea_slots, plan.pop("perm")[..., None], axis=2)
+            n_interior.append(plan.pop("n_interior"))
         out["proc"].append({
             "src_tab": plan["src_tab"], "smask": plan["slot_mask"],
             "ea": ea_slots.astype(np.float32),
@@ -524,10 +582,13 @@ def build_dist_msgnn_inputs(graph, n_parts: int) -> Optional[dict]:
 
     def to_dev(x):
         return jnp.asarray(x)
-    return jax.tree_util.tree_map(to_dev, out)
+    out = jax.tree_util.tree_map(to_dev, out)
+    if overlap:
+        out["overlap"] = tuple(n_interior)
+    return out
 
 
-def make_dist_msgnn_forward(mesh: Mesh, cfg):
+def make_dist_msgnn_forward(mesh: Mesh, cfg, overlap=None):
     """Distributed multiscale MSGNN forward (models/msgnn.py:apply_msgnn)
     over the graph mesh axis: every scale's nodes are partitioned into P
     ring-ordered blocks; processors exchange boundary rows per hop, pooling /
@@ -537,6 +598,11 @@ def make_dist_msgnn_forward(mesh: Mesh, cfg):
     are the part-major arrays of :func:`build_dist_msgnn_inputs`. Returns a
     tuple of per-scale part-major predictions [P, B_i, 2]; reshaping each to
     [C_i, 2] and concatenating recovers the scale-major node order.
+
+    ``overlap`` is the per-scale interior-slot tuple popped from
+    ``build_dist_msgnn_inputs(..., overlap=True)``'s result: processors then
+    aggregate local-only slots while the boundary exchange is in flight
+    (SURVEY §5 long-context row; VERDICT r1 #10).
     """
     from mswe_gnn_tpu.models import base as base_model
     from mswe_gnn_tpu.models.activations import apply_activation
@@ -592,7 +658,8 @@ def make_dist_msgnn_forward(mesh: Mesh, cfg):
             return _dist_layer_local(
                 params["gnn_processor"][gnn_id], cfg.processor_cfg(ks[gnn_id]),
                 xs_b[i], xd_b[i], pl["src_tab"][0], pl["smask"][0], ea_b[i],
-                pl["send_next"][0], pl["send_prev"][0], axis_size)
+                pl["send_next"][0], pl["send_prev"][0], axis_size,
+                n_interior=None if overlap is None else overlap[i])
 
         zeros_b = [jnp.zeros_like(b) for b in xd_b]
         x_down_b = [None] * L

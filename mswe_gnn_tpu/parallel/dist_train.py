@@ -32,7 +32,8 @@ from mswe_gnn_tpu.parallel.dist_swegnn import (
 
 
 def make_dist_apply_fn(mesh: Mesh, cfg, template: FloodGraph,
-                       n_parts: int) -> Optional[Callable]:
+                       n_parts: int, overlap: bool = False
+                       ) -> Optional[Callable]:
     """``apply_fn(params, cfg, graph) -> [N, 2]`` routed through the ring-halo
     MSGNN forward.
 
@@ -43,10 +44,11 @@ def make_dist_apply_fn(mesh: Mesh, cfg, template: FloodGraph,
     simulation do. Returns None when the template's partition violates the
     ring assumption (caller falls back to GSPMD).
     """
-    dist0 = build_dist_msgnn_inputs(template, n_parts)
+    dist0 = build_dist_msgnn_inputs(template, n_parts, overlap=overlap)
     if dist0 is None:
         return None
-    fwd = make_dist_msgnn_forward(mesh, cfg)
+    fwd = make_dist_msgnn_forward(mesh, cfg,
+                                  overlap=dist0.pop("overlap", None))
     spec = template.spec
     node_ptr = tuple(int(p) for p in np.asarray(spec.node_ptr))
     counts = tuple(spec.node_counts)

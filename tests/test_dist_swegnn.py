@@ -118,9 +118,12 @@ def test_dist_gnn_forward_matches_apply_gnn(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
-def test_dist_msgnn_forward_matches_apply_msgnn(rng):
+@pytest.mark.parametrize("overlap", [False, True])
+def test_dist_msgnn_forward_matches_apply_msgnn(rng, overlap):
     """Distributed multiscale V-cycle (per-scale ring partitions, cross-scale
-    pool/unpool halo plans) vs the single-device apply_msgnn."""
+    pool/unpool halo plans) vs the single-device apply_msgnn. ``overlap=True``
+    additionally packs halo references into trailing slots and aggregates
+    interior slots while the exchange is in flight — identical numerics."""
     from mswe_gnn_tpu.graph import GraphSpec, build_flood_graph
     from mswe_gnn_tpu.models.msgnn import MSGNNConfig, apply_msgnn, init_msgnn
     from mswe_gnn_tpu.parallel.dist_swegnn import (
@@ -154,10 +157,15 @@ def test_dist_msgnn_forward_matches_apply_msgnn(rng):
     params = init_msgnn(jax.random.PRNGKey(2), cfg)
     want = np.asarray(apply_msgnn(params, cfg, graph))
 
-    dist = build_dist_msgnn_inputs(graph, parts)
+    dist = build_dist_msgnn_inputs(graph, parts, overlap=overlap)
     assert dist is not None
+    n_int = dist.pop("overlap", None)
+    if overlap:
+        # the banded test graph has real halo references on every part, so
+        # packing must leave at least one interior slot and one halo slot
+        assert n_int is not None and 0 < n_int[0] < graph.in_edge_table.shape[1]
     mesh = make_mesh(2, parts)
-    fwd = make_dist_msgnn_forward(mesh, cfg)
+    fwd = make_dist_msgnn_forward(mesh, cfg, overlap=n_int)
     outs = fwd(params, dist)
     got = np.concatenate([np.asarray(o).reshape(-1, 2) for o in outs], axis=0)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
