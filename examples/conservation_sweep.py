@@ -46,6 +46,9 @@ def main(argv=None):
     base["trainer_options"]["max_epochs"] = args.epochs
     if args.warm_start:
         base["saved_model"] = args.warm_start
+        # fine-tuning a converged model: full pushforward depth from epoch 0
+        # (one compile) instead of re-running the from-scratch curriculum
+        base["trainer_options"]["curriculum_epoch"] = 0
     if args.lr is not None:
         base["lr_info"]["learning_rate"] = args.lr
     lambdas = [float(x) for x in args.lambdas.split(",")]
