@@ -66,10 +66,10 @@ def main(argv=None):
                      "test_mass_conservation_abs":
                          summary["test_mass_conservation_abs"]})
         print(json.dumps(rows[-1]), flush=True)
-
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(rows, f, indent=2)
+        # write incrementally: a killed sweep keeps its completed rows
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=2)
     best = max(rows, key=lambda r: r["test_CSI_005"])
     print(f"best lambda={best['conservation_lambda']} "
           f"CSI@0.05={best['test_CSI_005']:.4f}")
