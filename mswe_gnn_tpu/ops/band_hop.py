@@ -46,6 +46,12 @@ the in-kernel one-hot build costs VPU time comparable to the matmul
 when the gather unit's rate degrades; it stays integrated behind
 ``attach_band_plan`` / BENCH_BAND=1 and the gather path remains production.
 See ROADMAP.md for the full profile.
+
+Round 3: the hop is differentiable — ``band_hop`` carries a custom VJP whose
+backward is a second pallas kernel (the transpose of the banded one-hot
+gather is another banded one-hot matmul, accumulated into a VMEM-resident
+grad buffer across the sequential tile grid), so band-planned graphs serve
+training as well as inference.
 """
 from __future__ import annotations
 
@@ -115,8 +121,12 @@ def plan_band(src_ids, slot_mask, n_nodes: int,
     own_lo = (np.arange(t, dtype=np.int64) * TILE)[:, None]        # [T, 1]
 
     def round_w(span):
-        w = -(-span // _W_GRAIN) * _W_GRAIN
-        return min(w, n) if w <= max_w or w <= n else None
+        # clamp to the block, then enforce the cap: a required width beyond
+        # max_w must return None so the caller keeps the XLA gather path
+        # (oversized windows scale the one-hot matmul cost with W and can
+        # blow the Mosaic VMEM budget instead of degrading gracefully)
+        w = min(-(-span // _W_GRAIN) * _W_GRAIN, n)
+        return w if w <= max_w else None
 
     best = None                             # (total, ws, we, win, rel)
     for we in (0, TILE, 2 * TILE, 4 * TILE):
@@ -210,18 +220,9 @@ def _hop_kernel(win_ref, idx_ref, s_ref, state_ref, agg_ref, *,
     agg_ref[:] = acc.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("ws", "we", "with_gradient",
-                                             "upwind", "interpret"))
-def band_hop(state: jax.Array,      # [N, F] scale-block hop state
-             s_tab: jax.Array,      # [N, D*F] flux (slot-major, masked)
-             idx_rel: jax.Array,    # [N, D] window-relative slot sources
-             win: jax.Array,        # [T, D] window starts
-             *, ws: Tuple[int, ...], we: int = 0, with_gradient: bool = True,
-             upwind: bool = False,
-             interpret: Optional[bool] = None) -> jax.Array:
-    """One fused hop -> aggregate [N, F] (pre filter-matmul)."""
-    if interpret is None:  # virtual CPU meshes (tests) run the interpreter
-        interpret = jax.default_backend() == "cpu"
+def _band_hop_impl(state, s_tab, idx_rel, win, *, ws, we, with_gradient,
+                   upwind, interpret):
+    """Primal pallas_call (no autodiff rules of its own)."""
     n, feat = state.shape
     d_max = idx_rel.shape[1]
     t = n // TILE
@@ -249,6 +250,175 @@ def band_hop(state: jax.Array,      # [N, F] scale-block hop state
         out_shape=jax.ShapeDtypeStruct((n, feat), state.dtype),
         interpret=interpret,
     )(win, idx_rel, s_tab, state)
+
+
+def _bwd_kernel(win_ref, idx_ref, s_ref, state_ref, g_ref,
+                gs_ref, gstate_ref, *, ws: Tuple[int, ...], we: int,
+                d_max: int, feat: int, with_gradient: bool, upwind: bool):
+    """Backward tile: grad wrt the flux table (local) and the hop state.
+
+    The transpose of the banded one-hot gather is another banded one-hot
+    matmul: gwin = onehot^T @ contrib lands the per-slot cotangent back in
+    the [w0, w0+W) window (plus the shared ghost tail), accumulated into the
+    VMEM-resident [N, F] grad buffer across the sequential tile grid
+    (VERDICT r2 task 2: 'the transpose of a one-hot matmul is another banded
+    one-hot matmul').
+    """
+    t = pl.program_id(0)
+    n = state_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _init():
+        gstate_ref[...] = jnp.zeros_like(gstate_ref)
+
+    tail = state_ref[n - we:, :] if we > 0 else None
+    out_dst = state_ref[pl.ds(t * TILE, TILE), :]
+    dst_act = (jnp.sum(out_dst, axis=1, keepdims=True) != 0)
+    g = g_ref[...].astype(jnp.float32)
+    diag = jnp.zeros((TILE, feat), jnp.float32)
+    for d in range(d_max):
+        w = ws[d]
+        w0 = pl.multiple_of(win_ref[t, d], 16)
+        window = state_ref[pl.ds(w0, w), :]
+        if tail is not None:
+            window = jnp.concatenate([window, tail], axis=0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, w + we), 1)
+        onehot = (lanes == idx_ref[:, d:d + 1]).astype(window.dtype)
+        nb = jax.lax.dot_general(
+            onehot, window, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # exact rows, f32
+        s = s_ref[:, d * feat:(d + 1) * feat].astype(jnp.float32)
+        act = jnp.logical_or(jnp.sum(nb, axis=1, keepdims=True) != 0, dst_act)
+        if with_gradient:
+            diff = out_dst.astype(jnp.float32) - nb
+            if upwind:
+                gate = (diff > 0).astype(jnp.float32)
+                gs_d = jnp.where(act, jnp.maximum(diff, 0.0) * g, 0.0)
+                contrib = jnp.where(act, s * g, 0.0) * gate
+            else:
+                gs_d = jnp.where(act, diff * g, 0.0)
+                contrib = jnp.where(act, s * g, 0.0)
+            diag = diag + contrib
+            scat = -contrib
+        else:
+            gs_d = jnp.where(act, nb * g, 0.0)
+            scat = jnp.where(act, s * g, 0.0)
+        gs_ref[:, d * feat:(d + 1) * feat] = gs_d.astype(gs_ref.dtype)
+        gwin = jax.lax.dot_general(
+            onehot, scat.astype(onehot.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [W+we, F]
+        gstate_ref[pl.ds(w0, w), :] += gwin[:w]
+        if we > 0:
+            gstate_ref[n - we:, :] += gwin[w:]
+    gstate_ref[pl.ds(t * TILE, TILE), :] += diag
+
+
+def _band_hop_bwd_impl(state, s_tab, idx_rel, win, g, *, ws, we,
+                       with_gradient, upwind, interpret):
+    n, feat = state.shape
+    d_max = idx_rel.shape[1]
+    t = n // TILE
+    kernel = functools.partial(
+        _bwd_kernel, ws=tuple(ws), we=we, d_max=d_max, feat=feat,
+        with_gradient=with_gradient, upwind=upwind)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((TILE, d_max), lambda i, win: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d_max * feat), lambda i, win: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, feat), lambda i, win: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, feat), lambda i, win: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, d_max * feat), lambda i, win: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # full-array accumulator, revisited every grid step (sequential
+            # TPU grid); zero-initialized at t == 0
+            pl.BlockSpec((n, feat), lambda i, win: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    gs, gstate = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, d_max * feat), s_tab.dtype),
+                   jax.ShapeDtypeStruct((n, feat), jnp.float32)],
+        interpret=interpret,
+    )(win, idx_rel, s_tab, state, g)
+    return gstate.astype(state.dtype), gs
+
+
+def supported_bwd(n_nodes: int, feat: int, dtype) -> bool:
+    """Backward needs state (dtype) + the f32 grad accumulator resident."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return (n_nodes % TILE == 0 and feat % 8 == 0
+            and n_nodes * feat * (itemsize + 4) <= _VMEM_STATE_BYTES)
+
+
+@functools.partial(jax.jit, static_argnames=("ws", "we", "with_gradient",
+                                             "upwind", "interpret"))
+def band_hop(state: jax.Array,      # [N, F] scale-block hop state
+             s_tab: jax.Array,      # [N, D*F] flux (slot-major, masked)
+             idx_rel: jax.Array,    # [N, D] window-relative slot sources
+             win: jax.Array,        # [T, D] window starts
+             *, ws: Tuple[int, ...], we: int = 0, with_gradient: bool = True,
+             upwind: bool = False,
+             interpret: Optional[bool] = None) -> jax.Array:
+    """One fused hop -> aggregate [N, F] (pre filter-matmul).
+
+    Differentiable wrt ``state`` and ``s_tab`` (custom VJP with a pallas
+    backward kernel), so graphs with attached band plans serve training,
+    not just inference (VERDICT r2 task 2). The wet-front mask is treated
+    as non-differentiable (piecewise constant), matching JAX autodiff of
+    the XLA slot-gather path.
+    """
+    if interpret is None:  # virtual CPU meshes (tests) run the interpreter
+        interpret = jax.default_backend() == "cpu"
+    hop = _band_hop_vjp(tuple(ws), we, with_gradient, upwind, interpret)
+    return hop(state, s_tab, idx_rel, win)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_hop_vjp(ws, we, with_gradient, upwind, interpret):
+    """custom_vjp wrapper per static config (index arrays are primal args
+    with float0 cotangents — custom_vjp cannot close over tracers)."""
+    kw = dict(ws=ws, we=we, with_gradient=with_gradient, upwind=upwind,
+              interpret=interpret)
+
+    @jax.custom_vjp
+    def _hop(state, s_tab, idx_rel, win):
+        return _band_hop_impl(state, s_tab, idx_rel, win, **kw)
+
+    def _fwd(state, s_tab, idx_rel, win):
+        return _hop(state, s_tab, idx_rel, win), (state, s_tab, idx_rel, win)
+
+    def _bwd(res, g):
+        state, s_tab, idx_rel, win = res
+        n, feat = state.shape
+        if interpret or supported_bwd(n, feat, state.dtype):
+            gstate, gs = _band_hop_bwd_impl(state, s_tab, idx_rel, win, g,
+                                            **kw)
+        else:
+            # VMEM-overflow fallback: XLA take/scatter transpose via the
+            # pure-jnp emulation
+            _, pull = jax.vjp(
+                lambda st, s: band_hop_reference(
+                    st, s, idx_rel, win, ws=ws, we=we,
+                    with_gradient=with_gradient, upwind=upwind),
+                state, s_tab)
+            gstate, gs = pull(g)
+        f0 = jax.dtypes.float0
+        return (gstate, gs, np.zeros(idx_rel.shape, f0),
+                np.zeros(win.shape, f0))
+
+    _hop.defvjp(_fwd, _bwd)
+    return _hop
 
 
 def attach_band_plan(graph, min_nodes: int = 2048,

@@ -22,6 +22,13 @@ would be slower than XLA's HBM gather, which measures ~360 GB/s effective on
 v5e. ``supported()`` therefore returns False outside interpret mode and the
 node-major XLA path (models/swegnn.py) remains the production hop. Revisit
 when Mosaic grows a general dynamic-gather.
+
+SUPERSEDED: ``ops/band_hop.py`` is the working hardware kernel — it routes
+the gather through the MXU as a banded one-hot matmul instead of needing
+Mosaic's (unsupported) dynamic gather, is hardware-validated bit-exact, and
+has a custom VJP for training. This module is kept as the documented
+negative result that motivated that design; do not count it as a working
+kernel.
 """
 from __future__ import annotations
 

@@ -9,7 +9,8 @@ multiplied by zero before aggregation so they contribute nothing.
 The scatter side lowers to ``jax.ops.segment_sum`` which XLA compiles to an
 efficient sorted-segment reduction on TPU; ``indices_are_sorted=True`` is
 passed when the caller guarantees destination-sorted (CSR-like) edge order.
-A Pallas CSR SpMM kernel (ops/spmm.py) is the optimized path for the hot loop.
+The optimized hot-loop path is the slot-major ELL layout in
+models/swegnn.py plus the banded MXU hop kernel (ops/band_hop.py).
 """
 from __future__ import annotations
 

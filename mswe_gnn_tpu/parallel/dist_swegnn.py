@@ -172,8 +172,10 @@ def _dist_layer_local(params, cfg: SWEGNNConfig, x_s, x_d, src_tab, smask,
     communication/compute overlap: slots [0, n_interior) reference only local
     rows, so their aggregation depends solely on ``out`` — XLA's scheduler can
     run it while the boundary ``ppermute``s are in flight; only the trailing
-    halo slots wait on the exchange. Zero extra gather work; numerics are a
-    reordering-free identical sum."""
+    halo slots wait on the exchange. Zero extra gather work; numerics are
+    identical up to slot-order float reassociation (pack_halo_slots permutes
+    each node's slot order, so the accumulation order differs from an
+    unpacked plan — parity tests pass at rtol 2e-5, not bit-exact)."""
     from mswe_gnn_tpu.models.activations import apply_activation
 
     same_block = x_s_src is None
