@@ -1,0 +1,125 @@
+"""Pareto-front model-size sweep — the reference's central results table
+(reference results/Pareto_front/overview_MSGNN.csv + overview_GNN.csv; front
+extraction reference utils/miscellaneous.py:245-264).
+
+Trains the K x F grid of MSGNN configs at reduced synthetic scale
+(configs/pareto.yaml), records an overview-style CSV
+(results_repo/pareto.csv: params, CSI@0.05/0.3, RMSE, speed-up, prediction
+time) and renders the accuracy-vs-speed Pareto front figure via
+utils.analysis.get_pareto_front.
+
+Run:  python examples/pareto_sweep.py [--grid K2F16,K2F32,...] \
+          [--out results_repo/pareto.csv]
+
+Rows append incrementally so an interrupted sweep keeps finished configs.
+"""
+import argparse
+import copy
+import csv
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mswe_gnn_tpu.config import read_config
+from mswe_gnn_tpu.main import _setup_cache, run_training
+
+DEFAULT_GRID = [(k, f) for f in (16, 32, 64) for k in (2, 3, 4, 5)]
+FIELDS = ["model", "K", "hid_features", "n_params", "test_CSI_005",
+          "test_CSI_03", "test_RMSE_WD", "test_RMSE_Q", "test_MAE_WD",
+          "mean_prediction_time_s", "speed_up_mean",
+          "test_mass_conservation_abs"]
+
+
+def parse_grid(spec: str):
+    out = []
+    for tok in spec.split(","):
+        tok = tok.strip().upper()
+        k, f = tok[1:].split("F")
+        out.append((int(k), int(f)))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/pareto.yaml")
+    ap.add_argument("--grid", default=None,
+                    help="e.g. K2F16,K3F32 (default: K{2..5} x F{16,32,64})")
+    ap.add_argument("--out", default="results_repo/pareto.csv")
+    args = ap.parse_args(argv)
+
+    _setup_cache()
+    base = read_config(args.config)
+    grid = parse_grid(args.grid) if args.grid else DEFAULT_GRID
+
+    done = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for row in csv.DictReader(f):
+                done[(int(row["K"]), int(row["hid_features"]))] = row
+
+    for k, f in grid:
+        if (k, f) in done:
+            print(f"K{k}F{f}: already recorded, skipping", flush=True)
+            continue
+        cfg = copy.deepcopy(base)
+        cfg["models"]["K"] = k
+        cfg["models"]["hid_features"] = f
+        out_dir = f"runs/pareto_K{k}F{f}"
+        print(f"=== K={k} F={f} -> {out_dir}", flush=True)
+        summary = run_training(cfg, out_dir)
+        row = {"model": "MSGNN", "K": k, "hid_features": f}
+        for key in FIELDS[3:]:
+            row[key] = summary.get(key)
+        done[(k, f)] = row
+        write_header = not os.path.exists(args.out)
+        with open(args.out, "a", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=FIELDS)
+            if write_header:
+                w.writeheader()
+            w.writerow(row)
+        print(f"K{k}F{f}: CSI005={row['test_CSI_005']}", flush=True)
+
+    render_front(args.out)
+
+
+def render_front(csv_path: str):
+    """Accuracy-vs-inference-time scatter + Pareto front (reference
+    notebook figure over overview_MSGNN.csv)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from mswe_gnn_tpu.utils.analysis import get_pareto_front
+
+    rows = list(csv.DictReader(open(csv_path)))
+    if len(rows) < 2:
+        return
+    t = np.asarray([float(r["mean_prediction_time_s"]) for r in rows])
+    c = np.asarray([float(r["test_CSI_005"]) for r in rows])
+    pts = np.stack([-t, c], 1)           # maximize CSI, minimize time
+    front = get_pareto_front(pts, ascending=True)
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    sizes = np.asarray([float(r["n_params"]) for r in rows])
+    sc = ax.scatter(t, c, s=30 + 120 * sizes / sizes.max(),
+                    c=[int(r["K"]) for r in rows], cmap="viridis")
+    for r, ti, ci in zip(rows, t, c):
+        ax.annotate(f"K{r['K']}F{r['hid_features']}", (ti, ci), fontsize=7,
+                    xytext=(3, 3), textcoords="offset points")
+    fr = front[np.argsort(-front[:, 0])]
+    ax.plot(-fr[:, 0], fr[:, 1], "r--", lw=1.5, label="Pareto front")
+    ax.set_xlabel("mean prediction time per simulation [s]")
+    ax.set_ylabel("test CSI @ 0.05 m")
+    ax.set_title("Model-size Pareto front (MSGNN K x F)")
+    fig.colorbar(sc, label="K")
+    ax.legend()
+    fig.tight_layout()
+    out_png = os.path.splitext(csv_path)[0] + ".png"
+    fig.savefig(out_png, dpi=130)
+    print(f"front figure -> {out_png}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,6 +191,7 @@ def trainer_options(cfg: Dict) -> TrainerOptions:
         velocity_scaler=to["velocity_scaler"],
         curriculum_epoch=to["curriculum_epoch"], patience=to["patience"],
         max_epochs=to["max_epochs"],
+        best_metric=to.get("best_metric", "val_CSI_005"),
         max_rollout_steps=cfg["temporal_dataset_parameters"]["rollout_steps"],
         learning_rate=lr["learning_rate"], weight_decay=lr["weight_decay"],
         gamma=lr["gamma"], step_size=lr["step_size"])

@@ -64,6 +64,16 @@ class TrainerOptions:
     # one bad autoregressive batch can undo ~100 epochs). 0 disables.
     spike_rollback_factor: float = 10.0
     spike_window: int = 8
+    # Best-checkpoint selection metric. The reference checkpoints on
+    # val_loss (reference main.py:90-92) but early-stops on val_CSI_005
+    # (main.py:94); with full-rollout validation, val_loss is noisy and a
+    # single low-loss fluke can pin the "best" checkpoint at a mediocre-CSI
+    # epoch for the rest of the run (observed on runs/accuracy2: best_val
+    # froze at epoch 131 / CSI 0.59 while epochs 190+ reached CSI 0.82 —
+    # the round-2 val/test "gap" was exactly this). Default aligns selection
+    # with the early-stop/headline metric; set "val_loss" for the
+    # reference's literal behavior.
+    best_metric: str = "val_CSI_005"
 
 
 def make_optimizer(opts: TrainerOptions, steps_per_epoch: int):
@@ -379,6 +389,7 @@ class Trainer:
         self.best_params = params
         self.best_val_loss = float("inf")
         self.best_val_csi = -float("inf")
+        self.best_score: Optional[float] = None   # under opts.best_metric
         self.epochs_without_improvement = 0
         self._recent_losses: List[float] = []
         self._last_heartbeat = 0.0
@@ -451,7 +462,7 @@ class Trainer:
                 triggered = train_loss > factor * max(ref, 1e-12)
         elif factor and not np.isfinite(train_loss):
             triggered = True
-        if triggered and self.best_val_loss < float("inf"):
+        if triggered and self.best_score is not None:
             self.params = jax.tree_util.tree_map(
                 lambda x: jnp.array(x, copy=True), self.best_params)
             if self.mesh is not None:
@@ -473,6 +484,9 @@ class Trainer:
         save_checkpoint(path, self.params, opt_state=self.opt_state,
                         epoch=epoch, history=self.history,
                         extra={"best_val_csi": self.best_val_csi,
+                               "best_val_loss": self.best_val_loss,
+                               "best_score": self.best_score,
+                               "best_metric": self.opts.best_metric,
                                "epochs_without_improvement":
                                    self.epochs_without_improvement})
 
@@ -493,12 +507,27 @@ class Trainer:
             best, _, bmeta = restore_checkpoint(best_dir, self.params)
             self.best_params = best
             self.best_val_loss = float(bmeta.get("best_val_loss", float("inf")))
+            if bmeta.get("best_metric", "val_loss") == self.opts.best_metric:
+                bs = bmeta.get("best_score", bmeta.get("best_val_loss"))
+                self.best_score = None if bs is None else float(bs)
+            else:
+                # checkpoint written under a different selection metric
+                # (e.g. a pre-fix val_loss checkpoint resumed with the CSI
+                # criterion): keep the params but reset the score so the
+                # next validation re-establishes the best under the NEW
+                # metric instead of freezing on a stale one
+                self.best_score = None
             hist_csi = [r.get("val_CSI_005", 0.0) for r in self.history]
             self.best_val_csi = max(hist_csi) if hist_csi else 0.0
         # early-stop state persisted by save(); fall back to history-derived
         # values for checkpoints written before these keys existed
         if "best_val_csi" in meta:
             self.best_val_csi = float(meta["best_val_csi"])
+        if "best_val_loss" in meta:
+            self.best_val_loss = float(meta["best_val_loss"])
+        if (meta.get("best_score") is not None
+                and meta.get("best_metric") == self.opts.best_metric):
+            self.best_score = float(meta["best_score"])
         self.epochs_without_improvement = int(
             meta.get("epochs_without_improvement", 0))
         return self.start_epoch
@@ -574,15 +603,23 @@ class Trainer:
             if self.val_graphs and (epoch % val_every == 0 or epoch == max_epochs - 1):
                 metrics = self.validate()
                 record.update(metrics)
-                if metrics["val_loss"] < self.best_val_loss:
-                    self.best_val_loss = metrics["val_loss"]
+                self.best_val_loss = min(self.best_val_loss,
+                                         metrics["val_loss"])
+                score = metrics.get(self.opts.best_metric)
+                mode_min = "loss" in self.opts.best_metric
+                improved = (score is not None and np.isfinite(score)
+                            and (self.best_score is None
+                                 or (score < self.best_score if mode_min
+                                     else score > self.best_score)))
+                if improved:
+                    self.best_score = float(score)
                     # deep copy: train_step donates its params buffers, so a
                     # bare alias would be deleted by the next step (TPU only —
                     # CPU ignores donation, which is why tests can't catch it)
                     self.best_params = jax.tree_util.tree_map(
                         lambda x: jnp.array(x, copy=True), self.params)
                     if self.checkpoint_dir:
-                        # persist best-val params so restart-from-autosave
+                        # persist best params so restart-from-autosave
                         # recovery keeps the global best across processes
                         from mswe_gnn_tpu.training.checkpoint import \
                             save_checkpoint
@@ -590,7 +627,9 @@ class Trainer:
                         save_checkpoint(
                             os.path.join(self.checkpoint_dir, "best_val"),
                             self.best_params, epoch=epoch,
-                            extra={"best_val_loss": self.best_val_loss})
+                            extra={"best_metric": self.opts.best_metric,
+                                   "best_score": self.best_score,
+                                   "best_val_loss": metrics["val_loss"]})
                 # early stop on CSI@0.05 as the reference does (main.py:94);
                 # the counter lives on self so --epoch-budget relaunches
                 # resume it (persisted in save()/resume())

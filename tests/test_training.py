@@ -178,7 +178,7 @@ def test_spike_rollback_restores_best_params():
     golden = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
                                     tr.params)
     tr.best_params = golden
-    tr.best_val_loss = 0.5  # a validation has happened
+    tr.best_score = 0.5  # a validation has happened
 
     # normal epochs: no rollback
     for loss in (0.10, 0.11, 0.09, 0.12):
@@ -244,3 +244,48 @@ def test_heartbeat_file_written_during_fit(tmp_path):
     tr.fit(max_epochs=1)
     import os
     assert os.path.exists(os.path.join(ckpt, "heartbeat"))
+
+
+def test_best_checkpoint_selected_on_csi_not_loss(monkeypatch):
+    """Best-params selection follows opts.best_metric (default val_CSI_005).
+
+    Regression for the runs/accuracy2 failure: with noisy full-rollout
+    val_loss, a single low-loss fluke at a mediocre-CSI epoch froze the
+    'best' checkpoint ~0.2 CSI below the end-of-training params."""
+    samples, _ = make_samples(rollout=2)
+    g = samples[0]
+    cfg, params = make_model(g, K=1, hid=8)
+
+    # scripted validations: epoch 0 = low loss / low CSI (the fluke),
+    # epoch 1 = higher loss / high CSI (the genuinely better model)
+    script = [{"val_loss": 0.40, "val_CSI_005": 0.55, "val_CSI_03": 0.4},
+              {"val_loss": 0.60, "val_CSI_005": 0.82, "val_CSI_03": 0.7}]
+
+    def run(best_metric):
+        opts = TrainerOptions(batch_size=2, max_epochs=2, curriculum_epoch=1,
+                              max_rollout_steps=2, learning_rate=1e-3,
+                              best_metric=best_metric)
+        tr = Trainer(apply_msgnn, cfg, params, opts, samples[:2], samples[:1])
+        seq = iter([dict(s) for s in script])
+        marks = []
+
+        def fake_validate():
+            m = next(seq)
+            # tag the live params so we can identify which epoch's params
+            # were captured as best
+            marks.append(float(np.asarray(
+                jax.tree_util.tree_leaves(tr.params)[0]).ravel()[0]))
+            return m
+
+        monkeypatch.setattr(tr, "validate", fake_validate)
+        tr.fit(max_epochs=2)
+        best_mark = float(np.asarray(
+            jax.tree_util.tree_leaves(tr.best_params)[0]).ravel()[0])
+        return marks, best_mark, tr.best_score
+
+    marks, best_mark, score = run("val_CSI_005")
+    assert best_mark == marks[1], "CSI criterion must pick the high-CSI epoch"
+    assert score == 0.82
+    marks, best_mark, score = run("val_loss")
+    assert best_mark == marks[0], "val_loss criterion keeps reference behavior"
+    assert score == 0.40
