@@ -260,10 +260,48 @@ def _render_rollout_reports(analysis, rollouts, test, test_records,
                 os.path.join(out_dir, "rollout_best_multiscale.gif"))
 
 
+def _maybe_init_distributed(args) -> bool:
+    """Multi-host launch (VERDICT r2 task 7): bring this process into a
+    jax.distributed cluster BEFORE any backend touch.
+
+    Three triggers:
+      --dist-num-processes N --dist-process-id I [--dist-coordinator H:P]
+          explicit fake-cluster / manual launch (the CPU 2-process test);
+      MSWE_MULTIHOST=1
+          auto-detected environment (TPU pods / SLURM — jax reads the
+          cluster env itself, reference has no counterpart);
+    otherwise single-process (the default).
+    """
+    import jax
+
+    if getattr(args, "dist_num_processes", None):
+        jax.distributed.initialize(
+            coordinator_address=(args.dist_coordinator or "localhost:12355"),
+            num_processes=args.dist_num_processes,
+            process_id=args.dist_process_id or 0)
+        return True
+    if os.environ.get("MSWE_MULTIHOST") == "1":
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def run_training(cfg: Dict, out_dir: str,
                  epoch_budget: Optional[int] = None) -> Dict:
+    import jax
+
     cfg = config_lib.with_defaults(cfg)
-    logger = MetricLogger(out_dir, config=cfg)
+    # multi-host: every process builds the identical dataset and runs the
+    # identical step sequence (deterministic seeds); only process 0 touches
+    # the filesystem (logs, checkpoints, figures). Global batches are
+    # assembled per process with make_array_from_process-local callbacks
+    # (parallel/sharding.global_put).
+    is_main = jax.process_index() == 0
+    if jax.process_count() > 1:
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+    logger = MetricLogger(out_dir, config=cfg) if is_main else None
     train, val, test, scalers, test_records = prepare_data(cfg)
     print(f"dataset: {len(train)} train / {len(val)} val / {len(test)} test samples")
 
@@ -319,14 +357,17 @@ def run_training(cfg: Dict, out_dir: str,
         print(f"device mesh: data={mesh.shape['data']} x "
               f"graph={mesh.shape['graph']}")
     tr = Trainer(apply_fn, model_cfg, params, opts, train, val,
-                 multiscale=multiscale, log_fn=logger.log,
-                 checkpoint_dir=os.path.join(out_dir, "autosave"),
+                 multiscale=multiscale,
+                 log_fn=logger.log if logger else None,
+                 # non-main processes never write; they resume/read only
+                 checkpoint_dir=(os.path.join(out_dir, "autosave")
+                                 if is_main else None),
                  mesh=mesh,
                  batch_layout=cfg["trainer_options"].get("batch_layout",
                                                          "concat"))
     autosave_dir = os.path.join(out_dir, "autosave")
     if os.path.exists(os.path.join(autosave_dir, "meta.json")):
-        resumed = tr.resume(autosave_dir)
+        resumed = tr.resume(autosave_dir)   # every process: identical params
         print(f"resumed from epoch {resumed}")
 
     # Epoch budget: train at most this many epochs in THIS process, autosave,
@@ -338,24 +379,46 @@ def run_training(cfg: Dict, out_dir: str,
                else min(opts.max_epochs, tr.start_epoch + epoch_budget))
     tr.fit(max_epochs=stop_at)
     reached = (int(tr.history[-1]["epoch"]) + 1) if tr.history else tr.start_epoch
-    tr.save(autosave_dir, reached)
+    if is_main:
+        tr.save(autosave_dir, reached)
     if reached >= stop_at and stop_at < opts.max_epochs:
         print(f"epoch budget exhausted at {reached}/{opts.max_epochs}; "
               "relaunch to continue")
         return {"__resume__": True, "epoch": reached}
 
-    save_checkpoint(os.path.join(out_dir, "best"), tr.best_params,
-                    epoch=len(tr.history), history=tr.history)
-    save_checkpoint(os.path.join(out_dir, "last"), tr.params,
-                    epoch=len(tr.history), history=tr.history)
+    if jax.process_count() > 1:
+        # all processes finished the identical step sequence; rendezvous
+        # here AND after process 0's solo evaluation — a non-main process
+        # exiting while process 0 still evaluates trips the 30 s
+        # coordination-service shutdown barrier and kills the whole job
+        from jax.experimental import multihost_utils
 
-    summary = evaluate(apply_fn, model_cfg, tr.best_params, test, opts,
-                       out_dir=out_dir,
-                       numerical_times=[r.solver_seconds for r in test_records],
-                       test_records=test_records)
-    summary["n_params"] = count_params(tr.best_params)
-    logger.summary(summary)
-    logger.close()
+        multihost_utils.sync_global_devices("mswe_training_done")
+    if not is_main:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mswe_run_complete")
+        return {"non_main_process": True, "epochs": reached}
+
+    try:
+        save_checkpoint(os.path.join(out_dir, "best"), tr.best_params,
+                        epoch=len(tr.history), history=tr.history)
+        save_checkpoint(os.path.join(out_dir, "last"), tr.params,
+                        epoch=len(tr.history), history=tr.history)
+
+        summary = evaluate(apply_fn, model_cfg, tr.best_params, test, opts,
+                           out_dir=out_dir,
+                           numerical_times=[r.solver_seconds
+                                            for r in test_records],
+                           test_records=test_records)
+        summary["n_params"] = count_params(tr.best_params)
+        logger.summary(summary)
+        logger.close()
+    finally:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("mswe_run_complete")
     print(json.dumps(summary, indent=2, default=float))
     return summary
 
@@ -383,7 +446,6 @@ def _setup_cache():
 
 
 def main(argv=None):
-    _setup_cache()
     ap = argparse.ArgumentParser(description="mswe_gnn_tpu experiment driver")
     ap.add_argument("mode", choices=["train", "eval"])
     ap.add_argument("--config", default=None, help="YAML config path")
@@ -393,7 +455,27 @@ def main(argv=None):
                     help="max epochs in this process; exits 75 when hit "
                          "(supervisor relaunches and training resumes "
                          "from the autosave)")
+    ap.add_argument("--dist-coordinator", default=None,
+                    help="coordinator host:port for an explicit multi-host "
+                         "launch (default localhost:12355)")
+    ap.add_argument("--dist-num-processes", type=int, default=None,
+                    help="total processes in the cluster; presence of this "
+                         "flag triggers jax.distributed.initialize")
+    ap.add_argument("--dist-process-id", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu'). Needed on this "
+                         "image because sitecustomize preloads the axon TPU "
+                         "plugin and overrides JAX_PLATFORMS (verify-skill "
+                         "gotcha); fake-cluster tests use --platform cpu")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    # distributed init must precede ANY backend touch (incl. the compile
+    # cache setup below)
+    _maybe_init_distributed(args)
+    _setup_cache()
     cfg = config_lib.read_config(args.config) if args.config else {}
     cfg = config_lib.fix_dotted_keys(cfg)
     if args.mode == "train":

@@ -200,23 +200,35 @@ def _dist_layer_local(params, cfg: SWEGNNConfig, x_s, x_d, src_tab, smask,
     proj_dst = (matmul(x_s, W[s: 2 * s], cd)
                 + matmul(x_d, W[2 * s + d: 2 * s + 2 * d], cd))
     W_e = W[2 * s + 2 * d:]
-    buf_ps = _halo_concat(proj_src, send_next, send_prev, axis_size)
     rest = {"layers": mlp["layers"][1:], "acts": mlp["acts"][1:],
             "norms": mlp["norms"][1:]}
     d_max = src_tab.shape[1]
-    s_slots = []
-    for k in range(d_max):
-        h = jnp.take(buf_ps, src_tab[:, k], axis=0) + proj_dst
+
+    def flux_from(h_nb, k):
+        h = h_nb + proj_dst
         if fe > 0:
             h = h + matmul(ea_slots[:, k], W_e, cd)
         if "b" in lin0:
             h = h + lin0["b"]
         h = apply_activation(cfg.mlp_activation, mlp["acts"][0], h)
-        s_k = apply_mlp(rest, h, activation=cfg.mlp_activation, compute_dtype=cd)
+        s_k = apply_mlp(rest, h, activation=cfg.mlp_activation,
+                        compute_dtype=cd)
         if cfg.normalize:
             norm = jnp.linalg.norm(s_k, axis=-1, keepdims=True)
             s_k = jnp.where(norm > 0, s_k / jnp.where(norm > 0, norm, 1.0), 0.0)
-        s_slots.append(s_k * smask[:, k:k + 1])
+        return s_k * smask[:, k:k + 1]
+
+    # flux-projection exchange overlap (packed plans): interior slots read
+    # the LOCAL projection — no dependence on the ppermutes — so XLA runs
+    # their edge-MLP while the boundary rows are in flight (previously this
+    # exchange was fully synchronous; VERDICT r2 task 8)
+    ni = 0 if n_interior is None else n_interior
+    s_slots = [flux_from(jnp.take(proj_src, src_tab[:, k], axis=0), k)
+               for k in range(ni)]
+    if ni < d_max:
+        buf_ps = _halo_concat(proj_src, send_next, send_prev, axis_size)
+        s_slots += [flux_from(jnp.take(buf_ps, src_tab[:, k], axis=0), k)
+                    for k in range(ni, d_max)]
 
     # --- K hops, one boundary exchange each (src-side buffer is constant
     # when the blocks are disjoint: exchange once)
@@ -252,6 +264,16 @@ def _dist_layer_local(params, cfg: SWEGNNConfig, x_s, x_d, src_tab, smask,
             for dd in range(n_interior, d_max):
                 agg = agg + slot_msg(jnp.take(buf, src_tab[:, dd], axis=0),
                                      dd, dst_act)
+        elif not same_block and n_interior is not None:
+            # disjoint-block (un-pool) overlap: interior slots read the
+            # constant local src block directly, so the once-per-layer
+            # src-buffer exchange stays off their critical path
+            for dd in range(n_interior):
+                agg = agg + slot_msg(
+                    jnp.take(out_src, src_tab[:, dd], axis=0), dd, dst_act)
+            for dd in range(n_interior, d_max):
+                agg = agg + slot_msg(
+                    jnp.take(buf_const, src_tab[:, dd], axis=0), dd, dst_act)
         else:
             buf = (_halo_concat(out, send_next, send_prev, axis_size)
                    if same_block else buf_const)
@@ -557,6 +579,10 @@ def build_dist_msgnn_inputs(graph, n_parts: int,
         out["x_dynamic"].append(part(graph.x_dynamic, i))
         out["node_mask"].append(part(graph.node_mask, i))
 
+    # pool/unpool cross-scale plans: with ``overlap`` their halo slots are
+    # packed to the tail too, so the cross-scale exchanges also overlap with
+    # interior aggregation (VERDICT r2 task 8 — previously synchronous)
+    overlap_pool, overlap_unpool = [], []
     for lvl in range(L - 1):
         isl = slice(intra_ptr[lvl], intra_ptr[lvl + 1])
         fine_local = iei[1, isl] - node_ptr[lvl]
@@ -565,9 +591,13 @@ def build_dist_msgnn_inputs(graph, n_parts: int,
             node_ptr[lvl + 1]: node_ptr[lvl + 2]] - intra_ptr[lvl], 0)
         pmask = np.asarray(graph.pool_mask)[node_ptr[lvl + 1]: node_ptr[lvl + 2]]
         plan = build_dist_slot_plan(fine_local[ptab], pmask, counts[lvl + 1],
-                                    n_parts, num_src_nodes=counts[lvl])
+                                    n_parts, num_src_nodes=counts[lvl],
+                                    pack_halo_slots=overlap)
         if plan is None:
             return None
+        if overlap:
+            plan.pop("perm")
+            overlap_pool.append(plan.pop("n_interior"))
         out["pool"].append({
             "src_tab": plan["src_tab"], "smask": plan["slot_mask"],
             "send_next": plan["send_next"], "send_prev": plan["send_prev"]})
@@ -575,9 +605,13 @@ def build_dist_msgnn_inputs(graph, n_parts: int,
             node_ptr[lvl]: node_ptr[lvl + 1]] - intra_ptr[lvl], 0)
         umask = np.asarray(graph.unpool_mask)[node_ptr[lvl]: node_ptr[lvl + 1]]
         plan = build_dist_slot_plan(coarse_local[utab], umask, counts[lvl],
-                                    n_parts, num_src_nodes=counts[lvl + 1])
+                                    n_parts, num_src_nodes=counts[lvl + 1],
+                                    pack_halo_slots=overlap)
         if plan is None:
             return None
+        if overlap:
+            plan.pop("perm")
+            overlap_unpool.append(plan.pop("n_interior"))
         out["unpool"].append({
             "src_tab": plan["src_tab"], "smask": plan["slot_mask"],
             "send_next": plan["send_next"], "send_prev": plan["send_prev"]})
@@ -587,10 +621,13 @@ def build_dist_msgnn_inputs(graph, n_parts: int,
     out = jax.tree_util.tree_map(to_dev, out)
     if overlap:
         out["overlap"] = tuple(n_interior)
+        out["overlap_pool"] = tuple(overlap_pool)
+        out["overlap_unpool"] = tuple(overlap_unpool)
     return out
 
 
-def make_dist_msgnn_forward(mesh: Mesh, cfg, overlap=None):
+def make_dist_msgnn_forward(mesh: Mesh, cfg, overlap=None,
+                            overlap_pool=None, overlap_unpool=None):
     """Distributed multiscale MSGNN forward (models/msgnn.py:apply_msgnn)
     over the graph mesh axis: every scale's nodes are partitioned into P
     ring-ordered blocks; processors exchange boundary rows per hop, pooling /
@@ -604,7 +641,11 @@ def make_dist_msgnn_forward(mesh: Mesh, cfg, overlap=None):
     ``overlap`` is the per-scale interior-slot tuple popped from
     ``build_dist_msgnn_inputs(..., overlap=True)``'s result: processors then
     aggregate local-only slots while the boundary exchange is in flight
-    (SURVEY §5 long-context row; VERDICT r1 #10).
+    (SURVEY §5 long-context row; VERDICT r1 #10). ``overlap_pool`` /
+    ``overlap_unpool`` are the per-transfer-level analogs: the cross-scale
+    pooling sum and the un-pool layer read interior slots from the local
+    block so the cross-scale ppermutes are off the critical path
+    (VERDICT r2 task 8).
     """
     from mswe_gnn_tpu.models import base as base_model
     from mswe_gnn_tpu.models.activations import apply_activation
@@ -614,13 +655,22 @@ def make_dist_msgnn_forward(mesh: Mesh, cfg, overlap=None):
     L = cfg.num_scales
     ks = cfg.k_schedule
 
-    def _pool_cross(x_fine, plan):
-        buf = _halo_concat(x_fine, plan["send_next"][0], plan["send_prev"][0],
-                           axis_size)
+    def _pool_cross(x_fine, plan, n_int=None):
         tab, msk = plan["src_tab"][0], plan["smask"][0]
+        d_max = tab.shape[1]
+        # unpacked plan (n_int None): every slot may reference halo rows
+        n_int = 0 if n_int is None else n_int
         sums = jnp.zeros((tab.shape[0], x_fine.shape[1]), x_fine.dtype)
-        for d in range(tab.shape[1]):
-            sums = sums + jnp.take(buf, tab[:, d], axis=0) * msk[:, d:d + 1]
+        # interior slots (packed plans) read the local fine block —
+        # independent of the exchange, so XLA aggregates them while the
+        # ppermutes fly
+        for d in range(n_int):
+            sums = sums + jnp.take(x_fine, tab[:, d], axis=0) * msk[:, d:d + 1]
+        if n_int < d_max:
+            buf = _halo_concat(x_fine, plan["send_next"][0],
+                               plan["send_prev"][0], axis_size)
+            for d in range(n_int, d_max):
+                sums = sums + jnp.take(buf, tab[:, d], axis=0) * msk[:, d:d + 1]
         cnt = msk.sum(axis=1)
         return jnp.where(cnt[:, None] > 0,
                          sums / jnp.maximum(cnt, 1.0)[:, None], 0.0)
@@ -671,7 +721,9 @@ def make_dist_msgnn_forward(mesh: Mesh, cfg, overlap=None):
         for i in range(L - 1):
             xd_b[i] = proc(i, i)
             x_down_b[i] = xd_b[i]
-            pooled = _pool_cross(xd_b[i], dist["pool"][i])
+            pooled = _pool_cross(
+                xd_b[i], dist["pool"][i],
+                None if overlap_pool is None else overlap_pool[i])
             for j in range(L):
                 xd_b[j] = zeros_b[j]
             xd_b[i + 1] = pooled
@@ -689,7 +741,9 @@ def make_dist_msgnn_forward(mesh: Mesh, cfg, overlap=None):
                     params["intra_scale_gnn"][i], cfg.intra_cfg(),
                     xs_b[lvl], xd_b[lvl], pl["src_tab"][0], pl["smask"][0],
                     None, pl["send_next"][0], pl["send_prev"][0], axis_size,
-                    x_s_src=xs_b[scale], x_d_src=xd_b[scale])
+                    x_s_src=xs_b[scale], x_d_src=xd_b[scale],
+                    n_interior=(None if overlap_unpool is None
+                                else overlap_unpool[lvl]))
                 if cfg.skip_connections:
                     xd_b[lvl] = xd_b[lvl] + x_down_b[lvl]
 

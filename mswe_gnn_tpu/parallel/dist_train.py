@@ -47,8 +47,10 @@ def make_dist_apply_fn(mesh: Mesh, cfg, template: FloodGraph,
     dist0 = build_dist_msgnn_inputs(template, n_parts, overlap=overlap)
     if dist0 is None:
         return None
-    fwd = make_dist_msgnn_forward(mesh, cfg,
-                                  overlap=dist0.pop("overlap", None))
+    fwd = make_dist_msgnn_forward(
+        mesh, cfg, overlap=dist0.pop("overlap", None),
+        overlap_pool=dist0.pop("overlap_pool", None),
+        overlap_unpool=dist0.pop("overlap_unpool", None))
     spec = template.spec
     node_ptr = tuple(int(p) for p in np.asarray(spec.node_ptr))
     counts = tuple(spec.node_counts)

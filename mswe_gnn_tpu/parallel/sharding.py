@@ -56,16 +56,32 @@ def batch_sharding(mesh: Mesh, batch: FloodGraph, shard_graph: bool = True) -> F
     return jax.tree_util.tree_map(spec_for, batch)
 
 
+def global_put(leaf, sharding: NamedSharding):
+    """Place one array under a sharding that may span MULTIPLE PROCESSES.
+
+    Single-process: plain device_put. Multi-process (after
+    ``jax.distributed.initialize``): ``device_put`` cannot target
+    non-addressable devices, so the global array is assembled with
+    ``make_array_from_callback`` — every process holds the full host value
+    (data builds are deterministic and identical across processes) and
+    serves only its addressable shards from it."""
+    if jax.process_count() == 1:
+        return jax.device_put(leaf, sharding)
+    x = np.asarray(leaf)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_batch(batch: FloodGraph, mesh: Mesh, shard_graph: bool = True) -> FloodGraph:
     """Place a stacked batch onto the mesh."""
     shardings = batch_sharding(mesh, batch, shard_graph)
-    return jax.tree_util.tree_map(jax.device_put, batch, shardings)
+    return jax.tree_util.tree_map(global_put, batch, shardings)
 
 
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / opt state) across the whole mesh."""
     s = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree_util.tree_map(lambda x: global_put(x, s), tree)
 
 
 def union_sharding(mesh: Mesh, batch: FloodGraph) -> FloodGraph:
@@ -97,4 +113,4 @@ def union_sharding(mesh: Mesh, batch: FloodGraph) -> FloodGraph:
 def shard_union_batch(batch: FloodGraph, mesh: Mesh) -> FloodGraph:
     """Place a concat-batched union graph onto the mesh."""
     shardings = union_sharding(mesh, batch)
-    return jax.tree_util.tree_map(jax.device_put, batch, shardings)
+    return jax.tree_util.tree_map(global_put, batch, shardings)

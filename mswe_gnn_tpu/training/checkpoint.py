@@ -22,9 +22,18 @@ def _to_numpy_tree(tree):
 def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
                     history: Optional[list] = None,
                     extra: Optional[Dict] = None) -> None:
-    """Write a checkpoint directory (orbax if available, npz fallback)."""
+    """Write a checkpoint directory (orbax if available, npz fallback).
+
+    Multi-host: only process 0 calls this (main.run_training gates it), so
+    orbax — whose save() runs a cross-process barrier internally — must NOT
+    be used then: a barrier only one process enters stalls it ~30 s and the
+    skew breaks the next Gloo collective-context rendezvous (observed in
+    tests/test_multihost_main.py). Params are replicated, so the pure-host
+    npz writer loses nothing."""
     os.makedirs(path, exist_ok=True)
     try:
+        if jax.process_count() > 1:
+            raise RuntimeError("npz path for multi-host single-writer saves")
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
@@ -38,6 +47,10 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
         leaves, treedef = jax.tree_util.tree_flatten(_to_numpy_tree(params))
         np.savez(os.path.join(path, "params.npz"),
                  **{f"leaf_{i}": l for i, l in enumerate(leaves)})
+        if opt_state is not None:
+            oleaves, _ = jax.tree_util.tree_flatten(_to_numpy_tree(opt_state))
+            np.savez(os.path.join(path, "opt_state.npz"),
+                     **{f"leaf_{i}": l for i, l in enumerate(oleaves)})
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"epoch": epoch, "history": history or [],
                    **(extra or {})}, f)
@@ -68,7 +81,15 @@ def restore_checkpoint(path: str, params_template, opt_state_template=None
         data = np.load(os.path.join(path, "params.npz"))
         leaves, treedef = jax.tree_util.tree_flatten(params_template)
         restored = [data[f"leaf_{i}"] for i in range(len(leaves))]
-        return jax.tree_util.tree_unflatten(treedef, restored), None, meta
+        params = jax.tree_util.tree_unflatten(treedef, restored)
+        opt_state = None
+        opt_npz = os.path.join(path, "opt_state.npz")
+        if opt_state_template is not None and os.path.exists(opt_npz):
+            odata = np.load(opt_npz)
+            oleaves, otreedef = jax.tree_util.tree_flatten(opt_state_template)
+            opt_state = jax.tree_util.tree_unflatten(
+                otreedef, [odata[f"leaf_{i}"] for i in range(len(oleaves))])
+        return params, opt_state, meta
 
 
 def restore_params_only(path: str, params_template):

@@ -160,12 +160,17 @@ def test_dist_msgnn_forward_matches_apply_msgnn(rng, overlap):
     dist = build_dist_msgnn_inputs(graph, parts, overlap=overlap)
     assert dist is not None
     n_int = dist.pop("overlap", None)
+    n_int_pool = dist.pop("overlap_pool", None)
+    n_int_unpool = dist.pop("overlap_unpool", None)
     if overlap:
         # the banded test graph has real halo references on every part, so
         # packing must leave at least one interior slot and one halo slot
         assert n_int is not None and 0 < n_int[0] < graph.in_edge_table.shape[1]
+        assert n_int_pool is not None and n_int_unpool is not None
     mesh = make_mesh(2, parts)
-    fwd = make_dist_msgnn_forward(mesh, cfg, overlap=n_int)
+    fwd = make_dist_msgnn_forward(mesh, cfg, overlap=n_int,
+                                  overlap_pool=n_int_pool,
+                                  overlap_unpool=n_int_unpool)
     outs = fwd(params, dist)
     got = np.concatenate([np.asarray(o).reshape(-1, 2) for o in outs], axis=0)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
