@@ -26,11 +26,14 @@ def _cross2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def generate_polygon(rng: np.random.Generator, center=(0.0, 0.0),
                      avg_radius: float = 1000.0, irregularity: float = 0.35,
-                     spikiness: float = 0.2, num_vertices: int = 16) -> np.ndarray:
+                     spikiness: float = 0.2, num_vertices: int = 16,
+                     ellipticality: float = 1.0) -> np.ndarray:
     """Random irregular polygon (reference database/graph_creation.py:148-197).
 
     ``irregularity`` jitters the angular spacing of vertices; ``spikiness``
-    jitters their radius.
+    jitters their radius; ``ellipticality`` is the major/minor axis ratio
+    (x stretched, reference graph_creation.py:190 — its domain factory
+    samples it in [1, 2) and divides avg_radius by it, :320-321).
     """
     irregularity = np.clip(irregularity, 0, 1) * 2 * np.pi / num_vertices
     spikiness = np.clip(spikiness, 0, 1) * avg_radius
@@ -41,7 +44,7 @@ def generate_polygon(rng: np.random.Generator, center=(0.0, 0.0),
     angles = np.cumsum(steps) + rng.uniform(0, 2 * np.pi)
     radii = np.clip(rng.normal(avg_radius, spikiness, num_vertices),
                     0.3 * avg_radius, 1.7 * avg_radius)
-    return np.stack([center[0] + radii * np.cos(angles),
+    return np.stack([center[0] + radii * np.cos(angles) * ellipticality,
                      center[1] + radii * np.sin(angles)], axis=1)
 
 
@@ -256,9 +259,15 @@ def create_dike(polygon: np.ndarray, rng: np.random.Generator,
 def triangulated_hierarchy(rng: np.random.Generator, dem_fn: Callable,
                            num_scales: int = 3, avg_radius: float = 1600.0,
                            target_edge: float = 100.0, with_dike: bool = False,
-                           ) -> List[Mesh]:
-    """Random-polygon multiscale triangulated hierarchy (finest first)."""
-    poly = generate_polygon(rng, avg_radius=avg_radius)
+                           ellipticality: tuple = (1.0, 2.0)) -> List[Mesh]:
+    """Random-polygon multiscale triangulated hierarchy (finest first).
+
+    ``ellipticality`` is sampled uniformly per domain and the radius divided
+    by it, matching the reference's domain factory
+    (database/graph_creation.py:320-321, dhydro_utils.py:305)."""
+    ell = float(rng.uniform(*ellipticality))
+    poly = generate_polygon(rng, avg_radius=avg_radius / ell,
+                            ellipticality=ell)
     if with_dike:
         poly = create_dike(poly, rng)
     # RCM-reorder each scale: CDT output order is insertion order (no band

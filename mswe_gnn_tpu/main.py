@@ -192,6 +192,7 @@ def trainer_options(cfg: Dict) -> TrainerOptions:
         curriculum_epoch=to["curriculum_epoch"], patience=to["patience"],
         max_epochs=to["max_epochs"],
         best_metric=to.get("best_metric", "val_CSI_005"),
+        watch_every=int(to.get("watch_every", 0)),
         max_rollout_steps=cfg["temporal_dataset_parameters"]["rollout_steps"],
         learning_rate=lr["learning_rate"], weight_decay=lr["weight_decay"],
         gamma=lr["gamma"], step_size=lr["step_size"])
@@ -365,6 +366,8 @@ def run_training(cfg: Dict, out_dir: str,
                  mesh=mesh,
                  batch_layout=cfg["trainer_options"].get("batch_layout",
                                                          "concat"))
+    if logger is not None and opts.watch_every > 0:
+        tr.watch_fn = logger.watch   # wandb histograms (no-op local-first)
     autosave_dir = os.path.join(out_dir, "autosave")
     if os.path.exists(os.path.join(autosave_dir, "meta.json")):
         resumed = tr.resume(autosave_dir)   # every process: identical params
@@ -423,6 +426,35 @@ def run_training(cfg: Dict, out_dir: str,
     return summary
 
 
+def run_sweep(base_cfg: Dict, sweep_id: str, out_dir: str,
+              count: int = 1) -> None:
+    """wandb sweep-agent entry (reference main.py:189-196: the module runs
+    under a sweep agent, `fix_dict_in_config(wandb)` re-nests the agent's
+    dotted-key overrides and training reads wandb.config). Here the agent
+    calls run_training once per trial with the overrides deep-merged over
+    the base YAML; metric names match the reference's dashboards."""
+    import wandb
+
+    def _merge(dst: Dict, src: Dict) -> Dict:
+        out = dict(dst)
+        for k, v in src.items():
+            out[k] = (_merge(out[k], v)
+                      if isinstance(v, dict) and isinstance(out.get(k), dict)
+                      else v)
+        return out
+
+    trial = {"i": 0}
+
+    def _one():
+        run = wandb.init()
+        overrides = config_lib.fix_dotted_keys(dict(run.config))
+        cfg = _merge(base_cfg, overrides)
+        trial["i"] += 1
+        run_training(cfg, os.path.join(out_dir, f"trial_{run.id}"))
+
+    wandb.agent(sweep_id, function=_one, count=count)
+
+
 def run_eval(cfg: Dict, ckpt: str, out_dir: str) -> Dict:
     cfg = config_lib.with_defaults(cfg)
     _, _, test, scalers, test_records = prepare_data(cfg)
@@ -447,9 +479,13 @@ def _setup_cache():
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="mswe_gnn_tpu experiment driver")
-    ap.add_argument("mode", choices=["train", "eval"])
+    ap.add_argument("mode", choices=["train", "eval", "sweep"])
     ap.add_argument("--config", default=None, help="YAML config path")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (eval mode)")
+    ap.add_argument("--sweep-id", default=None,
+                    help="wandb sweep id (sweep mode): entity/project/id")
+    ap.add_argument("--count", type=int, default=1,
+                    help="trials to run under the sweep agent (sweep mode)")
     ap.add_argument("--out", default="runs/latest")
     ap.add_argument("--epoch-budget", type=int, default=None,
                     help="max epochs in this process; exits 75 when hit "
@@ -482,6 +518,9 @@ def main(argv=None):
         result = run_training(cfg, args.out, epoch_budget=args.epoch_budget)
         if result.get("__resume__"):
             sys.exit(75)
+    elif args.mode == "sweep":
+        assert args.sweep_id, "--sweep-id required for sweep"
+        run_sweep(cfg, args.sweep_id, args.out, count=args.count)
     else:
         assert args.ckpt, "--ckpt required for eval"
         run_eval(cfg, args.ckpt, args.out)

@@ -74,6 +74,36 @@ class TrainerOptions:
     # with the early-stop/headline metric; set "val_loss" for the
     # reference's literal behavior.
     best_metric: str = "val_CSI_005"
+    # Parameter/update monitoring cadence in epochs (the reference's
+    # wandb_logger.watch(model, log="all") analog, reference main.py:95).
+    # Every N epochs the fit loop logs per-module L2 norms of the params and
+    # of the epoch's net update; MetricLogger additionally forwards full
+    # histograms to wandb when a run is live. 0 disables.
+    watch_every: int = 0
+
+
+def watch_norms(params, prev=None, prefix: str = "watch") -> Dict[str, float]:
+    """Per-top-level-module L2 norms of the parameters and (when ``prev`` is
+    given) of the net update since ``prev`` — the gradient/parameter
+    monitoring the reference gets from wandb's watch(log='all')
+    (reference main.py:95), local-first: scalars keep the JSONL/CSV readable
+    while MetricLogger.watch forwards full histograms to wandb when live."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    sq: Dict[str, float] = {}
+    dsq: Dict[str, float] = {}
+    prev_flat = (jax.tree_util.tree_flatten_with_path(prev)[0]
+                 if prev is not None else None)
+    for i, (path, leaf) in enumerate(flat):
+        key = str(getattr(path[0], "key", path[0])) if path else "params"
+        sq[key] = sq.get(key, 0.0) + float(jnp.sum(
+            jnp.square(leaf.astype(jnp.float32))))
+        if prev_flat is not None:
+            d = leaf.astype(jnp.float32) - prev_flat[i][1].astype(jnp.float32)
+            dsq[key] = dsq.get(key, 0.0) + float(jnp.sum(jnp.square(d)))
+    out = {f"{prefix}/{k}_norm": float(np.sqrt(v)) for k, v in sq.items()}
+    out.update({f"{prefix}/{k}_update_norm": float(np.sqrt(v))
+                for k, v in dsq.items()})
+    return out
 
 
 def make_optimizer(opts: TrainerOptions, steps_per_epoch: int):
@@ -385,6 +415,9 @@ class Trainer:
             self.opt_state = replicate(self.opt_state, mesh)
         self.rng = np.random.default_rng(opts.seed)
         self.log_fn = log_fn or (lambda m: None)
+        # optional histogram sink, called (params, epoch) every
+        # opts.watch_every epochs (MetricLogger.watch when wandb is live)
+        self.watch_fn: Optional[Callable] = None
         self.history: List[Dict] = []
         self.best_params = params
         self.best_val_loss = float("inf")
@@ -584,6 +617,12 @@ class Trainer:
         for epoch in range(self.start_epoch, max_epochs):
             rollout_steps = self.curriculum.on_epoch_start(epoch)
             t0 = time.time()
+            watching = (opts.watch_every > 0
+                        and epoch % opts.watch_every == 0)
+            if watching:
+                # copy, not alias: train_step donates its params buffers
+                prev_params = jax.tree_util.tree_map(
+                    lambda x: jnp.array(x, copy=True), self.params)
             losses = []
             for batch in self._batches(self.train_graphs, opts.batch_size, True):
                 self.params, self.opt_state, loss = train_step(
@@ -597,6 +636,10 @@ class Trainer:
             self.curriculum.on_epoch_end(train_loss)
             record = {"epoch": epoch, "rollout_steps": rollout_steps,
                       "train_loss": train_loss, "epoch_time": time.time() - t0}
+            if watching:
+                record.update(watch_norms(self.params, prev_params))
+                if self.watch_fn is not None:
+                    self.watch_fn(self.params, epoch)  # wandb histograms
             if self._maybe_rollback(train_loss):
                 record["spike_rollback"] = 1
 

@@ -53,6 +53,26 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics)
 
+    def watch(self, params, step: int) -> None:
+        """Full parameter histograms to wandb when a run is live (the
+        reference's wandb_logger.watch(model, log='all'), main.py:95).
+        Local-first runs get the scalar per-module norms the Trainer logs
+        via ``watch_norms`` instead; this adds the histogram view only
+        where a wandb dashboard exists to render it."""
+        if self._wandb is None:
+            return
+        import numpy as _np
+        import wandb
+
+        import jax
+
+        hists = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            hists[f"watch/{name}"] = wandb.Histogram(
+                _np.asarray(leaf, dtype=_np.float32).ravel())
+        self._wandb.log(hists, step=step)
+
     def summary(self, metrics: Dict) -> None:
         with open(os.path.join(self.out_dir, "summary.json"), "w") as f:
             json.dump({k: (float(v) if hasattr(v, "__float__") else v)

@@ -28,6 +28,23 @@ def test_generate_polygon_and_containment(rng):
     assert not point_in_polygon(far, poly)[0]
 
 
+def test_generate_polygon_ellipticality_stretches_x(rng):
+    """ellipticality = major/minor axis ratio, x stretched (reference
+    database/graph_creation.py:190; its factory samples [1,2) and divides
+    avg_radius by it, :320-321)."""
+    seed_state = rng.bit_generator.state
+    round_poly = generate_polygon(rng, avg_radius=100.0, num_vertices=64,
+                                  irregularity=0.0, spikiness=0.0)
+    rng.bit_generator.state = seed_state
+    ell_poly = generate_polygon(rng, avg_radius=100.0, num_vertices=64,
+                                irregularity=0.0, spikiness=0.0,
+                                ellipticality=2.0)
+    np.testing.assert_allclose(ell_poly[:, 1], round_poly[:, 1])
+    np.testing.assert_allclose(ell_poly[:, 0], 2.0 * round_poly[:, 0])
+    span = ell_poly.max(0) - ell_poly.min(0)
+    assert span[0] / span[1] > 1.8
+
+
 def test_triangulate_polygon_mesh_sanity(rng):
     dem = random_dem_fn(rng, extent=400.0)
     poly = generate_polygon(rng, avg_radius=400.0, num_vertices=10,

@@ -166,6 +166,30 @@ def test_trainer_fit_smoke():
     assert "val_loss" in hist[-1]
 
 
+def test_trainer_watch_logs_param_and_update_norms():
+    """watch_every logs per-module param/update L2 norms (the reference's
+    wandb watch(log='all') analog, reference main.py:95)."""
+    samples, _ = make_samples(rollout=2)
+    cfg, params = make_model(samples[0], K=1, hid=8)
+    opts = TrainerOptions(batch_size=2, max_epochs=2, curriculum_epoch=1,
+                          max_rollout_steps=2, learning_rate=1e-3,
+                          watch_every=1)
+    tr = Trainer(apply_msgnn, cfg, params, opts,
+                 train_graphs=samples[:4], val_graphs=samples[:2])
+    seen = []
+    tr.watch_fn = lambda p, e: seen.append(e)
+    hist = tr.fit(max_epochs=2)
+    norm_keys = [k for k in hist[-1] if k.startswith("watch/")]
+    assert any(k.endswith("_norm") and not k.endswith("_update_norm")
+               for k in norm_keys)
+    assert any(k.endswith("_update_norm") for k in norm_keys)
+    assert all(np.isfinite(hist[-1][k]) for k in norm_keys)
+    # an epoch of training must produce a nonzero net update
+    assert sum(hist[-1][k] for k in norm_keys
+               if k.endswith("_update_norm")) > 0
+    assert seen == [0, 1]
+
+
 def test_spike_rollback_restores_best_params():
     """The divergence guard restores best-val params on a loss spike or a
     non-finite loss, and stays quiet on normal fluctuations."""
