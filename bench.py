@@ -158,37 +158,47 @@ def _setup_cache():
     enable_compilation_cache()
 
 
-def measure_gather_rate(n_rows=23168, feat=64, reps=200, seed=0):
+def measure_gather_rate(n_rows=23168, feat=64, reps=(200, 2200), seed=0):
     """Measured random-row-gather rate (rows/s) on THIS chip — the roofline
     the hop kernels are judged against (BASELINE.md: >=80% of roofline).
 
     The hop's hot op is a row gather of the [N, F] state per ELL slot; on
     v5e it is row-count-bound (~0.57 G rows/s, bf16 == f32 — ROADMAP.md
-    profile). An in-jit scan amortizes dispatch (single dispatch ~25 ms on
-    the remote-execution platform); the chained sum makes iterations
-    data-dependent so XLA cannot elide them."""
+    profile). An in-jit scan makes iterations data-dependent so XLA cannot
+    elide them; the rate comes from the DIFFERENCE between a long and a
+    short scan, so the ~25 ms per-dispatch overhead of the remote-execution
+    platform cancels exactly. (The round-2 single-point version read ~4x
+    low — 200 reps is only ~8 ms of device work behind a ~25 ms dispatch —
+    which is what made BENCH_r02's 'degraded gather rate' self-diagnosis
+    overstate the environmental slowdown.)"""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.normal(size=(n_rows, feat)), jnp.bfloat16)
     idx = jnp.asarray(rng.integers(0, n_rows, n_rows), jnp.int32)
 
-    @jax.jit
-    def run(x, idx):
-        def body(carry, _):
-            g = jnp.take(x + carry, idx, axis=0)
-            return carry + g[0, 0], None
+    def make(length):
+        @jax.jit
+        def run(x, idx):
+            def body(carry, _):
+                g = jnp.take(x + carry, idx, axis=0)
+                return carry + g[0, 0], None
 
-        out, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=reps)
-        return out
+            out, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None,
+                                  length=length)
+            return out
+        return run
 
-    float(run(x, idx))                       # compile
-    t0 = time.time()
-    float(run(x, idx))
-    dt = time.time() - t0
-    rate = n_rows * reps / dt
-    log(f"gather microbench: {n_rows} rows x {reps} reps in {dt:.3f}s "
-        f"-> {rate/1e9:.3f} G rows/s")
+    lo, hi = make(reps[0]), make(reps[1])
+    float(lo(x, idx)), float(hi(x, idx))     # compile both
+    t_lo = t_hi = float("inf")
+    for _ in range(3):                       # best-of-3 each, interleaved
+        t0 = time.time(); float(lo(x, idx)); t_lo = min(t_lo, time.time() - t0)
+        t0 = time.time(); float(hi(x, idx)); t_hi = min(t_hi, time.time() - t0)
+    rate = n_rows * (reps[1] - reps[0]) / max(t_hi - t_lo, 1e-9)
+    log(f"gather microbench: {n_rows} rows, {reps[0]} reps {t_lo:.3f}s / "
+        f"{reps[1]} reps {t_hi:.3f}s -> {rate/1e9:.3f} G rows/s "
+        f"(dispatch-cancelled), dispatch ~{(t_lo - n_rows*reps[0]/rate)*1e3:.0f} ms")
     return rate
 
 
