@@ -57,6 +57,11 @@ def _generate_cached(sd: Dict, temporal_res: float):
                         hashlib.sha256(key_src.encode()).hexdigest()[:16] + ".h5")
     if os.path.exists(path):
         return load_records(path, seed=0)  # keep generation order (caller splits)
+    # Multi-host: every process may reach here concurrently (generation is
+    # deterministic, so any writer's output is valid). Each writes its OWN
+    # temp file — two h5py handles on a shared temp name deadlock on the
+    # HDF5 file lock under load (reproduced in tests/test_multihost_main.py)
+    # — and the atomic os.replace makes the last finisher win harmlessly.
     records = generate_dataset(
         sd["n_sims"], seed=sd.get("seed", 0), nx=sd["nx"], ny=sd["ny"],
         dx=sd.get("dx", 100.0), num_scales=sd["num_scales"],
@@ -68,9 +73,13 @@ def _generate_cached(sd: Dict, temporal_res: float):
         # key via sd. (Reference's storm-surge extension, utils/adforce_dataset.py)
         storm=bool(sd.get("storm_forcing", False)))
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = path + ".tmp"
-    save_records(tmp, records)
-    os.replace(tmp, path)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        save_records(tmp, records)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return records
 
 
@@ -443,14 +452,17 @@ def run_sweep(base_cfg: Dict, sweep_id: str, out_dir: str,
                       else v)
         return out
 
-    trial = {"i": 0}
-
     def _one():
         run = wandb.init()
         overrides = config_lib.fix_dotted_keys(dict(run.config))
         cfg = _merge(base_cfg, overrides)
-        trial["i"] += 1
-        run_training(cfg, os.path.join(out_dir, f"trial_{run.id}"))
+        try:
+            # MetricLogger attaches to the live run (wandb.run), so every
+            # epoch's val_CSI_005/val_loss reaches the sweep controller —
+            # bayes/hyperband sweeps need the objective metric per trial.
+            run_training(cfg, os.path.join(out_dir, f"trial_{run.id}"))
+        finally:
+            run.finish()
 
     wandb.agent(sweep_id, function=_one, count=count)
 

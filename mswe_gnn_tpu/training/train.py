@@ -88,6 +88,11 @@ def watch_norms(params, prev=None, prefix: str = "watch") -> Dict[str, float]:
     monitoring the reference gets from wandb's watch(log='all')
     (reference main.py:95), local-first: scalars keep the JSONL/CSV readable
     while MetricLogger.watch forwards full histograms to wandb when live."""
+    if jax.process_count() > 1:
+        # sharded params are not fully addressable on any one host; eager
+        # float() on a leaf would raise. Per-module norms are a single-host
+        # observability feature — skip rather than crash multi-host training.
+        return {}
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     sq: Dict[str, float] = {}
     dsq: Dict[str, float] = {}

@@ -23,14 +23,22 @@ class MetricLogger:
         self.csv_path = os.path.join(out_dir, "metrics.csv")
         self._csv_fields = None
         self._wandb = None
-        if use_wandb:
-            try:
-                import wandb
+        self._owns_wandb = False
+        try:
+            import wandb
 
+            if wandb.run is not None:
+                # a live run already exists (wandb sweep agent: the run is
+                # opened by the agent before run_training constructs this
+                # logger) — attach so log()/summary() reach the sweep
+                # controller's objective metric; the opener finishes it.
+                self._wandb = wandb.run
+            elif use_wandb:
                 self._wandb = wandb.init(project=wandb_project or "mswe-gnn-tpu",
                                          config=config)
-            except Exception:
-                self._wandb = None
+                self._owns_wandb = True
+        except Exception:
+            self._wandb = None
         if config is not None:
             with open(os.path.join(out_dir, "config.json"), "w") as f:
                 json.dump(config, f, indent=2, default=str)
@@ -66,12 +74,16 @@ class MetricLogger:
 
         import jax
 
-        hists = {}
+        hists = {"epoch": step}
         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
             name = "/".join(str(getattr(p, "key", p)) for p in path)
             hists[f"watch/{name}"] = wandb.Histogram(
                 _np.asarray(leaf, dtype=_np.float32).ravel())
-        self._wandb.log(hists, step=step)
+        # no explicit step=: wandb's internal step is auto-incrementing and
+        # already ahead of the epoch counter (log() is called per epoch with
+        # several metrics), so step=epoch would be non-monotonic and the
+        # histograms silently dropped.
+        self._wandb.log(hists)
 
     def summary(self, metrics: Dict) -> None:
         with open(os.path.join(self.out_dir, "summary.json"), "w") as f:
@@ -83,5 +95,5 @@ class MetricLogger:
 
     def close(self) -> None:
         self.jsonl.close()
-        if self._wandb is not None:
+        if self._wandb is not None and self._owns_wandb:
             self._wandb.finish()
