@@ -50,10 +50,15 @@ class SimulationRecord:
     forcing_names: tuple = ()
 
 
-def pool_to_scales(values: np.ndarray, mesh: MultiscaleMesh) -> np.ndarray:
-    """Mean-pool finest-scale temporal values onto every coarser scale
-    (reference database/graph_creation.py:1137-1169). ``values`` is
-    [F0(+ghosts), T] on the finest scale; output is [N_total, T]."""
+def pool_to_scales(values: np.ndarray, mesh: MultiscaleMesh,
+                   reduce: str = "mean") -> np.ndarray:
+    """Pool finest-scale temporal values onto every coarser scale with
+    scatter ``reduce`` in {'mean', 'max', 'add'} (reference
+    database/graph_creation.py:1137-1169 pool_multiscale_attributes).
+    ``values`` is [F0(+ghosts), T] on the finest scale; output is
+    [N_total, T]."""
+    if reduce not in ("mean", "max", "add"):
+        raise ValueError(f"unknown reduce {reduce!r}")
     out = np.zeros((mesh.num_nodes, values.shape[1]))
     n0 = mesh.node_ptr[1] - mesh.node_ptr[0]
     out[:n0] = values[:n0]
@@ -63,11 +68,18 @@ def pool_to_scales(values: np.ndarray, mesh: MultiscaleMesh) -> np.ndarray:
         coarse = mesh.intra_edge_index[0, lvl] - mesh.node_ptr[s + 1]
         fine = mesh.intra_edge_index[1, lvl] - mesh.node_ptr[s]
         nc = mesh.node_ptr[s + 2] - mesh.node_ptr[s + 1]
-        sums = np.zeros((nc, values.shape[1]))
-        cnts = np.zeros(nc)
-        np.add.at(sums, coarse, cur[fine])
-        np.add.at(cnts, coarse, 1.0)
-        cur = sums / np.maximum(cnts, 1.0)[:, None]
+        if reduce == "max":
+            acc = np.full((nc, values.shape[1]), -np.inf)
+            np.maximum.at(acc, coarse, cur[fine])
+            cur = np.where(np.isinf(acc), 0.0, acc)  # childless cells -> 0
+        else:
+            sums = np.zeros((nc, values.shape[1]))
+            np.add.at(sums, coarse, cur[fine])
+            if reduce == "mean":
+                cnts = np.zeros(nc)
+                np.add.at(cnts, coarse, 1.0)
+                sums /= np.maximum(cnts, 1.0)[:, None]
+            cur = sums
         out[mesh.node_ptr[s + 1]: mesh.node_ptr[s + 2]] = cur
     return out
 
@@ -154,20 +166,22 @@ class ProcessedSimulation:
 
 def process_record(rec: SimulationRecord, scalers: Dict[str, object],
                    node_features: Dict[str, bool] = None,
-                   edge_features: Dict[str, bool] = None) -> ProcessedSimulation:
+                   edge_features: Dict[str, bool] = None,
+                   slope_method: str = "edge") -> ProcessedSimulation:
     """Scale + select features for one simulation
-    (reference utils/dataset.py:74-230)."""
+    (reference utils/dataset.py:74-230). ``slope_method`` selects the
+    per-node slope estimator ('edge' | 'lstsq', see :func:`_node_slopes`)."""
     nf = dict(DEFAULT_NODE_FEATURES, **(node_features or {}))
     ef = dict(DEFAULT_EDGE_FEATURES, **(edge_features or {}))
     mesh = rec.mesh
 
     cols = []
     if nf.get("slopes"):
-        # per-node slope vector from the DEM gradient along edges
-        sx, sy = _node_slopes(mesh)
+        # per-node slope vector from the DEM gradient
+        sx, sy = _node_slopes(mesh, slope_method)
         cols.append(apply_scaler(scalers.get("slope_scaler"), np.stack([sx, sy], -1)))
     if nf.get("slope"):
-        sx, sy = _node_slopes(mesh)
+        sx, sy = _node_slopes(mesh, slope_method)
         cols.append(apply_scaler(scalers.get("slope_scaler"),
                                  np.sqrt(sx ** 2 + sy ** 2))[:, None])
     if nf.get("area"):
@@ -216,9 +230,29 @@ def process_record(rec: SimulationRecord, scalers: Dict[str, object],
         temporal_res=rec.temporal_res, forcing=forcing)
 
 
-def _node_slopes(mesh: MultiscaleMesh):
-    """Per-node terrain slopes via averaged directed edge slopes
-    (reference utils/dataset.py:49-57)."""
+def _node_slopes(mesh: MultiscaleMesh, method: str = "edge"):
+    """Per-node terrain slopes.
+
+    ``method='edge'`` (default): average of directed edge slopes
+    (reference utils/dataset.py:49-57 analog — cheap, edge-local).
+    ``method='lstsq'``: the reference's least-squares plane fit over a
+    radius+KNN neighborhood per scale (reference
+    database/graph_creation.py:1004-1031), via :func:`data.interp.get_slopes`.
+    """
+    if method == "lstsq":
+        from mswe_gnn_tpu.data.interp import get_slopes
+
+        sxs, sys_ = [], []
+        for m in mesh.meshes:
+            # scale the radius with the mesh's own spacing so coarse scales
+            # keep a local neighborhood (reference uses a fixed 200 m on its
+            # fixed-resolution meshes)
+            spacing = float(np.median(m.face_distance)) if m.num_edges else 1.0
+            sx, sy = get_slopes(m.face_xy, m.dem,
+                                neighborhood_size=2.0 * spacing)
+            sxs.append(sx)
+            sys_.append(sy)
+        return np.concatenate(sxs), np.concatenate(sys_)
     ei = mesh.edge_index
     rel = mesh.concat_edges("face_relative_distance")
     dist = mesh.concat_edges("face_distance")

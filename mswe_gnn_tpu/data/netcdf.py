@@ -107,7 +107,8 @@ def _polygon_area_per_face(node_xy, face_nodes, valid) -> np.ndarray:
 
 
 def mesh_from_map_netcdf(path: str, dem: Optional[np.ndarray] = None,
-                         dem_file: Optional[str] = None
+                         dem_file: Optional[str] = None,
+                         dem_interp: str = "nearest"
                          ) -> Tuple[Mesh, np.ndarray, np.ndarray]:
     """Build a :class:`Mesh` (dual-graph view) from a ``*_map.nc`` file.
 
@@ -115,8 +116,10 @@ def mesh_from_map_netcdf(path: str, dem: Optional[np.ndarray] = None,
     ``edge_type == 2`` walls carry the inflow boundary condition
     (reference graph_creation.py:650-702, 1322-1338).
 
-    DEM priority: explicit ``dem`` array > ``dem_file`` (x y z text, nearest
-    interpolation — reference Mesh._import_DEM, graph_creation.py:834-845) >
+    DEM priority: explicit ``dem`` array > ``dem_file`` (x y z text,
+    interpolated onto cell centers with ``dem_interp`` in
+    'nearest' | 'linear' | 'cubic' — reference Mesh._import_DEM /
+    interpolate_variable, graph_creation.py:834-845, 1046-1070) >
     ``mesh2d_flowelem_bl`` bed level in the file > zeros.
     """
     v = read_map_variables(path, _TOPO_VARS)
@@ -131,10 +134,10 @@ def mesh_from_map_netcdf(path: str, dem: Optional[np.ndarray] = None,
     if dem is None:
         if dem_file is not None and os.path.exists(dem_file):
             pts = np.loadtxt(dem_file)
-            from scipy.spatial import cKDTree
+            from mswe_gnn_tpu.data.interp import interpolate_variable
 
-            _, idx = cKDTree(pts[:, :2]).query(face_xy)
-            dem = pts[idx, 2]
+            dem = interpolate_variable(face_xy, pts[:, :2], pts[:, 2],
+                                       method=dem_interp)
         elif "mesh2d_flowelem_bl" in v:
             dem = np.asarray(v["mesh2d_flowelem_bl"], np.float64)
         else:

@@ -150,7 +150,8 @@ def prepare_data(cfg: Dict) -> Tuple[List[FloodGraph], List[FloodGraph],
 
     scalers = fit_dataset_scalers(train_records, cfg["scalers"])
     feats = dict(node_features=cfg["selected_node_features"],
-                 edge_features=cfg["selected_edge_features"])
+                 edge_features=cfg["selected_edge_features"],
+                 slope_method=dp.get("slope_method", "edge"))
     spec = union_spec([
         make_spec(r.mesh, len(r.mesh.ghosts.ghost_nodes),
                   pad_multiple=sd.get("pad_multiple", 64))
