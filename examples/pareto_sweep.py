@@ -28,7 +28,7 @@ from mswe_gnn_tpu.main import _setup_cache, run_training
 DEFAULT_GRID = [(k, f) for f in (16, 32, 64) for k in (2, 3, 4, 5)]
 FIELDS = ["model", "K", "hid_features", "n_params", "test_CSI_005",
           "test_CSI_03", "test_RMSE_WD", "test_RMSE_Q", "test_MAE_WD",
-          "mean_prediction_time_s", "speed_up_mean",
+          "mean_prediction_time_s", "speed_up_vs_synthetic_solver_mean",
           "test_mass_conservation_abs"]
 
 

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Multi-chip scaling model from measured single-chip numbers + ring plans.
+
+Pod-slice hardware is not reachable from this environment, but the two
+inputs a scaling prediction needs ARE:
+
+1. the exact per-hop halo sizes and ppermute counts of the ring-halo
+   partition of the dk15-class mesh (host-built plans,
+   parallel/dist_swegnn.py — the same plans the CPU-mesh parity tests
+   execute), and
+2. the measured single-chip device time of the same rollout
+   (BENCH_r03: 190 ms device kernel time / 47 steps).
+
+This script builds the ring plans for P in {2,4,8,16}, counts every halo
+exchange a V-cycle step performs (one per hop per processor layer, one per
+pool/unpool transfer), and models
+
+    T_P = T_compute/P + sum_exchanges(latency + halo_rows*F*2B / BW_link)
+    efficiency(P) = T_1 / (P * T_P)
+
+against the >=75% BASELINE target, with a perfect-overlap variant
+(max(compute, comm)) as the upper bound — the overlap machinery exists
+(pack_halo_slots, interior/boundary slot split). ICI numbers are the public
+v5e figures (one-way ~45 GB/s per link, 2D torus; a 1D ring uses the
+next/prev links concurrently). Data-parallel throughput scaling (one
+simulation per chip) is comm-free by construction and reported for context.
+
+Run CPU-only (does NOT touch the TPU):
+    JAX_PLATFORMS=cpu python examples/scaling_estimate.py
+Writes results_repo/scaling_model.json; prose in results_repo/scaling_model.md.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+# ---- measured single-chip facts (BENCH_r03.json, ROADMAP.md r2/r3) --------
+DEVICE_SECONDS_PER_ROLLOUT = 0.190   # sum of device kernels, dk15 rollout
+ROLLOUT_STEPS = 47
+T1_STEP = DEVICE_SECONDS_PER_ROLLOUT / ROLLOUT_STEPS   # 4.04 ms/step
+TRAIN_STEP_SECONDS = 0.1845          # 6-step pushforward train step, batch 1
+N_PARAMS = 601_444                   # K=5 F=64 MSGNN
+
+# ---- public v5e ICI figures (jax-ml.github.io/scaling-book) ---------------
+ICI_ONEWAY_BYTES_PER_S = 4.5e10      # per link, one direction
+PPERMUTE_LATENCY_S = 2e-6            # per collective hop (conservative)
+BF16_BYTES = 2                       # hop-path compute dtype
+
+
+def build_plans(n_parts):
+    from bench import build_bench_problem
+    from mswe_gnn_tpu.parallel.dist_swegnn import (
+        build_dist_msgnn_inputs, reorder_graph_for_ring,
+    )
+
+    cfg, params, apply_fn, sample, mesh = build_bench_problem()
+    g, _ = reorder_graph_for_ring(sample)
+    out = {}
+    for p in n_parts:
+        dist = build_dist_msgnn_inputs(g, p)
+        out[p] = (dist, cfg, g)
+    return out
+
+
+def exchanges_per_step(dist, cfg, spec):
+    """Every halo exchange one V-cycle step performs: (halo_rows, feat) per
+    exchange. Mirrors the layer structure counted by bench.count_gather_rows
+    (each hop re-ships the updated boundary state; pool/unpool transfers
+    ship once per crossing)."""
+    L = spec.num_scales
+    ks = list(cfg.k_schedule)
+    F = cfg.hid_features
+    ex = []
+
+    def halo(plan):
+        return int(plan["send_next"].shape[1])
+
+    for i in range(L - 1):                      # downsweep + pool
+        ex += [(halo(dist["proc"][i]), F)] * ks[i]
+        ex += [(halo(dist["pool"][i]), F)]
+    for i in range(L):                          # upsweep
+        s = L - 1 - i
+        ex += [(halo(dist["proc"][s]), F)] * ks[L - 1 + i]
+    for lvl in range(L - 1):                    # un-pool intra layers (K=1)
+        ex += [(halo(dist["unpool"][lvl]), F)]
+    return ex
+
+
+def model_point(p, dist, cfg, g):
+    ex = exchanges_per_step(dist, cfg, g.spec)
+    comm = sum(PPERMUTE_LATENCY_S
+               + h * f * BF16_BYTES / ICI_ONEWAY_BYTES_PER_S
+               for h, f in ex)
+    compute = T1_STEP / p
+    t_serial = compute + comm
+    t_overlap = max(compute, comm) + PPERMUTE_LATENCY_S * len(ex)
+    bytes_step = sum(2 * h * f * BF16_BYTES for h, f in ex)  # both directions
+    return {
+        "n_chips": p,
+        "exchanges_per_step": len(ex),
+        "halo_rows_max": max(h for h, _ in ex),
+        "halo_bytes_per_step": int(bytes_step),
+        "comm_ms_per_step": round(comm * 1e3, 4),
+        "compute_ms_per_step": round(compute * 1e3, 4),
+        "step_ms_serial": round(t_serial * 1e3, 4),
+        "step_ms_overlapped": round(t_overlap * 1e3, 4),
+        "efficiency_serial": round(T1_STEP / (p * t_serial), 4),
+        "efficiency_overlapped": round(T1_STEP / (p * t_overlap), 4),
+        "rollout_s_serial": round(t_serial * ROLLOUT_STEPS, 4),
+    }
+
+
+def dp_gradient_sync_model(p):
+    """Training data-parallel: ring all-reduce of bf16 grads per step."""
+    grad_bytes = N_PARAMS * BF16_BYTES
+    # ring all-reduce: 2*(P-1)/P of the buffer crosses each link
+    t = 2 * (p - 1) / p * grad_bytes / ICI_ONEWAY_BYTES_PER_S \
+        + 2 * (p - 1) * PPERMUTE_LATENCY_S
+    eff = TRAIN_STEP_SECONDS / (TRAIN_STEP_SECONDS + t)
+    return {"n_chips": p, "allreduce_ms": round(t * 1e3, 4),
+            "efficiency": round(eff, 4)}
+
+
+def main():
+    parts = [2, 4, 8, 16]
+    plans = build_plans(parts)
+    rows, dp_rows = [], []
+    for p in parts:
+        dist, cfg, g = plans[p]
+        if dist is None:
+            rows.append({"n_chips": p, "ring_feasible": False})
+            continue
+        r = model_point(p, dist, cfg, g)
+        r["ring_feasible"] = True
+        rows.append(r)
+        dp_rows.append(dp_gradient_sync_model(p))
+        print(json.dumps(r))
+    out = {
+        "inputs": {
+            "device_seconds_per_rollout_1chip": DEVICE_SECONDS_PER_ROLLOUT,
+            "rollout_steps": ROLLOUT_STEPS,
+            "ici_oneway_bytes_per_s": ICI_ONEWAY_BYTES_PER_S,
+            "ppermute_latency_s": PPERMUTE_LATENCY_S,
+            "train_step_seconds_1chip": TRAIN_STEP_SECONDS,
+            "n_params": N_PARAMS,
+            "source": "BENCH_r03.json device timings + public v5e ICI rates",
+        },
+        "ring_halo_inference": rows,
+        "data_parallel_training": dp_rows,
+        "baseline_target_efficiency": 0.75,
+    }
+    os.makedirs("results_repo", exist_ok=True)
+    with open("results_repo/scaling_model.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote results_repo/scaling_model.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,16 @@ def _generate_cached(sd: Dict, temporal_res: float):
     return records
 
 
+def _solver_label(cfg: Dict) -> str:
+    """Which solver produced the test records' ``solver_seconds``: real
+    D-HYDRO wall times ('dhydro' — speed-ups comparable with the reference's
+    242-1223x, reference results/overview.csv) for map-NetCDF/pickle data,
+    the built-in generator ('synthetic_solver' — NOT comparable) otherwise."""
+    dp = cfg.get("dataset_parameters", {})
+    return ("dhydro" if dp.get("map_folder") or dp.get("dataset_folder")
+            else "synthetic_solver")
+
+
 def _load_reference_split(dp: Dict):
     """Reference pickle datasets with the reference's exact split semantics
     (reference utils/dataset.py:292-331): train pickle from
@@ -211,7 +221,8 @@ def trainer_options(cfg: Dict) -> TrainerOptions:
 def evaluate(apply_fn, model_cfg, params, test: List[FloodGraph],
              opts: TrainerOptions, out_dir: Optional[str] = None,
              numerical_times: Optional[List[float]] = None,
-             test_records=None, render: bool = True) -> Dict:
+             test_records=None, render: bool = True,
+             solver_label: str = "solver") -> Dict:
     """Timed full-rollout test evaluation + spatial analysis
     (reference main.py:138-166). With ``test_records`` (the SimulationRecords
     carrying the meshes) and ``render``, also writes the reference's rollout
@@ -230,7 +241,8 @@ def evaluate(apply_fn, model_cfg, params, test: List[FloodGraph],
         rollouts.append(pred)
 
     analysis = SpatialAnalysis(rollouts, test, prediction_times=times,
-                               numerical_times=numerical_times)
+                               numerical_times=numerical_times,
+                               solver_label=solver_label)
     summary = analysis.summary()
     if out_dir:
         analysis.save_reports(out_dir)
@@ -423,7 +435,8 @@ def run_training(cfg: Dict, out_dir: str,
                            out_dir=out_dir,
                            numerical_times=[r.solver_seconds
                                             for r in test_records],
-                           test_records=test_records)
+                           test_records=test_records,
+                           solver_label=_solver_label(cfg))
         summary["n_params"] = count_params(tr.best_params)
         logger.summary(summary)
         logger.close()
@@ -476,7 +489,8 @@ def run_eval(cfg: Dict, ckpt: str, out_dir: str) -> Dict:
     summary = evaluate(apply_fn, model_cfg, params, test, trainer_options(cfg),
                        out_dir=out_dir,
                        numerical_times=[r.solver_seconds for r in test_records],
-                       test_records=test_records)
+                       test_records=test_records,
+                       solver_label=_solver_label(cfg))
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)

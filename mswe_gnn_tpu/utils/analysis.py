@@ -38,7 +38,8 @@ class SpatialAnalysis:
                  test_graphs: Sequence[FloodGraph],
                  prediction_times: Optional[Sequence[float]] = None,
                  numerical_times: Optional[Sequence[float]] = None,
-                 thresholds: Sequence[float] = (0.05, 0.3)):
+                 thresholds: Sequence[float] = (0.05, 0.3),
+                 solver_label: str = "solver"):
         assert len(predicted_rollouts) == len(test_graphs)
         self.graphs = list(test_graphs)
         self.thresholds = tuple(thresholds)
@@ -46,6 +47,12 @@ class SpatialAnalysis:
                                  if prediction_times is not None else None)
         self.numerical_times = (list(numerical_times)
                                 if numerical_times is not None else None)
+        # which solver produced numerical_times: 'dhydro' (real D-HYDRO wall
+        # times, overview.csv — comparable with the reference's 242-1223x,
+        # reference utils/miscellaneous.py:70-114) or 'synthetic_solver'
+        # (the built-in generator's own seconds — NOT comparable; labeling
+        # it keeps the summary from being misread against the reference)
+        self.solver_label = solver_label
         # restrict to finest scale
         self.preds, self.reals, self.masks = [], [], []
         for pred, g in zip(predicted_rollouts, test_graphs):
@@ -138,8 +145,13 @@ class SpatialAnalysis:
             if self.numerical_times:
                 mu, sd = get_speed_up(np.asarray(self.numerical_times),
                                       np.asarray(self.prediction_times))
-                out["speed_up_mean"] = mu
-                out["speed_up_std"] = sd
+                out[f"speed_up_vs_{self.solver_label}_mean"] = mu
+                out[f"speed_up_vs_{self.solver_label}_std"] = sd
+                if self.solver_label == "dhydro":
+                    # only real solver timings produce the reference-
+                    # comparable headline keys
+                    out["speed_up_mean"] = mu
+                    out["speed_up_std"] = sd
         return out
 
     # --- figures --------------------------------------------------------

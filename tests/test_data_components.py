@@ -158,9 +158,17 @@ def test_speedup_in_summary():
     g = to_temporal_samples(proc, spec, previous_t=2, rollout_steps=-1)[0]
     pred = np.zeros((spec.num_nodes, 2, g.y.shape[-1]), np.float32)
     sa = SpatialAnalysis([pred], [g], prediction_times=[0.1],
-                         numerical_times=[rec.solver_seconds])
+                         numerical_times=[rec.solver_seconds],
+                         solver_label="synthetic_solver")
     s = sa.summary()
-    assert "speed_up_mean" in s and s["speed_up_mean"] > 0
+    # the synthetic-solver ratio is explicitly labeled (VERDICT r3 weak #8)
+    # and must NOT surface under the reference-comparable headline key
+    assert s["speed_up_vs_synthetic_solver_mean"] > 0
+    assert "speed_up_mean" not in s
+    sa2 = SpatialAnalysis([pred], [g], prediction_times=[0.1],
+                          numerical_times=[rec.solver_seconds],
+                          solver_label="dhydro")
+    assert sa2.summary()["speed_up_mean"] > 0
 
 
 def test_batching_across_different_meshes():
