@@ -274,6 +274,7 @@ def bench_training(cfg, params, apply_fn, sample, mesh):
     log(f"train step (6-step pushforward, batch {batch_n}): {t:.3f}s "
         f"-> {batch_n / t:.2f} sims/s")
     return {"train_step_seconds": round(t, 4), "train_batch": batch_n,
+            "train_steps_per_sec": round(1.0 / t, 3),
             "train_sims_per_sec": round(batch_n / t, 3)}
 
 

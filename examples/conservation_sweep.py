@@ -53,7 +53,16 @@ def main(argv=None):
         base["lr_info"]["learning_rate"] = args.lr
     lambdas = [float(x) for x in args.lambdas.split(",")]
 
+    # merge with prior arms: rerunning the sweep with new lambdas extends
+    # the study (the reference's mass_conservation.csv sweeps ~10 values)
     rows = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            rows = json.load(f)
+    done = {r["conservation_lambda"] for r in rows}
+    lambdas = [l for l in lambdas if l not in done]
+    if done:
+        print(f"existing arms: {sorted(done)}; running {lambdas}", flush=True)
     for lam in lambdas:
         cfg = copy.deepcopy(base)
         cfg["trainer_options"]["conservation"] = lam
@@ -67,6 +76,7 @@ def main(argv=None):
                          summary["test_mass_conservation_abs"]})
         print(json.dumps(rows[-1]), flush=True)
         # write incrementally: a killed sweep keeps its completed rows
+        rows.sort(key=lambda r: r["conservation_lambda"])
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(rows, f, indent=2)

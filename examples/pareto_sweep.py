@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mswe_gnn_tpu.config import read_config
 from mswe_gnn_tpu.main import _setup_cache, run_training
 
-DEFAULT_GRID = [(k, f) for f in (16, 32, 64) for k in (2, 3, 4, 5)]
+# largest-first: if a session runs out of wall-clock mid-sweep, the configs
+# that decide the capacity trend (VERDICT r3 weak #3) are already recorded
+DEFAULT_GRID = [(k, f) for f in (64, 32, 16) for k in (5, 4, 3, 2)]
 FIELDS = ["model", "K", "hid_features", "n_params", "test_CSI_005",
           "test_CSI_03", "test_RMSE_WD", "test_RMSE_Q", "test_MAE_WD",
           "mean_prediction_time_s", "speed_up_vs_synthetic_solver_mean",
