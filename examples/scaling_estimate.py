@@ -160,6 +160,54 @@ def main():
     with open("results_repo/scaling_model.json", "w") as f:
         json.dump(out, f, indent=2)
     print("wrote results_repo/scaling_model.json")
+    render(out)
+
+
+def render(out):
+    """Efficiency-vs-chips figure (results_repo/scaling_model.png)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = [r for r in out["ring_halo_inference"] if r.get("ring_feasible")]
+    if len(rows) < 2:
+        return
+    P = [r["n_chips"] for r in rows]
+    es = [100 * r["efficiency_serial"] for r in rows]
+    eo = [100 * r["efficiency_overlapped"] for r in rows]
+    SURF, INK, INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
+    BLUE, ORANGE = "#2a78d6", "#eb6834"
+    fig, ax = plt.subplots(figsize=(6.2, 4.2), facecolor=SURF)
+    ax.set_facecolor(SURF)
+    ax.plot(P, eo, "-o", color=BLUE, lw=2, ms=5,
+            label="overlapped (upper bound)")
+    ax.plot(P, es, "-o", color=ORANGE, lw=2, ms=5,
+            label="serial (lower bound)")
+    ax.axhline(75, color=INK2, lw=1, ls="--")
+    ax.text(P[-1], 75.7, "BASELINE target 75%", ha="right", fontsize=8,
+            color=INK2)
+    for y, c in ((eo[-1], BLUE), (es[-1], ORANGE)):
+        ax.annotate(f"{y:.0f}%", (P[-1], y), xytext=(6, 0),
+                    textcoords="offset points", fontsize=8, color=INK)
+    ax.set_xscale("log", base=2)
+    ax.set_xticks(P)
+    ax.set_xticklabels(P)
+    ax.set_xlabel("chips (1D ring over v5e ICI)", color=INK)
+    ax.set_ylabel("predicted scaling efficiency [%]", color=INK)
+    ax.set_title("Ring-halo MSGNN rollout: predicted multi-chip efficiency\n"
+                 "(exact halo plans + measured single-chip compute)",
+                 fontsize=10, color=INK)
+    ax.set_ylim(50, 102)
+    ax.spines[["top", "right"]].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color(INK2)
+    ax.tick_params(colors=INK2)
+    ax.grid(axis="y", color="#e8e7e3", lw=0.7)
+    ax.set_axisbelow(True)
+    ax.legend(frameon=False, fontsize=8, loc="lower left")
+    fig.tight_layout()
+    fig.savefig("results_repo/scaling_model.png", dpi=130)
+    print("wrote results_repo/scaling_model.png")
 
 
 if __name__ == "__main__":
