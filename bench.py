@@ -437,7 +437,14 @@ def main():
     # 26.2 s @ batch 1 -> 7.35 s @ batch 20; VERDICT r2 task 1d)
     if os.environ.get("BENCH_SCALING", "1") == "1" and batch == 1:
         scaling = {"1": detail["seconds_per_simulation"]}
-        for b in (4, 8):
+        # default {2,4,8}; BENCH_SCALING_MAX=16/20 extends toward the
+        # reference's batch-20 study (each batch adds a fresh ~5 min compile,
+        # so the deep curve is opt-in)
+        bs, b = [], 2
+        while b <= int(os.environ.get("BENCH_SCALING_MAX", "8")):
+            bs.append(b)
+            b *= 2
+        for b in bs:
             rb, gb = _make_rollout_fn(apply_fn, cfg, sample, T, b, "concat")
             t0 = time.time()
             float(rb(params, gb))
