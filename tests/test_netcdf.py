@@ -139,3 +139,33 @@ def test_load_map_folder_end_to_end(tmp_path):
         config_lib.with_defaults(cfg))
     assert len(train) >= 1 and len(val) >= 1 and len(test) >= 1
     assert test_records[0].solver_seconds == 13.0
+
+
+def test_dem_file_interpolation_modes(tmp_path):
+    """DEM from an x y z text file onto cell centers: nearest vs linear
+    (reference Mesh._import_DEM + interpolate_variable,
+    graph_creation.py:834-845, 1046-1070). On a planar DEM sampled densely,
+    linear interpolation is exact at interior cell centers."""
+    mesh, hydro, bc_faces, sim = _grid_sim()
+    path = str(tmp_path / "output_0_map.nc")
+    write_grid_map_netcdf(path, 8, 8, 100.0, sim.wd, sim.vx, sim.vy,
+                          bc_faces, dem=mesh.dem)
+    # dense planar point cloud covering the domain
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-50, 850, size=(800, 2))
+    z = 1.5 + 0.002 * pts[:, 0] - 0.001 * pts[:, 1]
+    dem_file = tmp_path / "dem.xyz"
+    np.savetxt(dem_file, np.column_stack([pts, z]))
+
+    got_lin, _, _ = mesh_from_map_netcdf(path, dem_file=str(dem_file),
+                                         dem_interp="linear")
+    want = 1.5 + 0.002 * got_lin.face_xy[:, 0] - 0.001 * got_lin.face_xy[:, 1]
+    np.testing.assert_allclose(got_lin.dem, want, atol=1e-9)
+
+    got_near, _, _ = mesh_from_map_netcdf(path, dem_file=str(dem_file),
+                                          dem_interp="nearest")
+    # nearest picks each center's closest sample exactly
+    from scipy.spatial import cKDTree
+
+    _, idx = cKDTree(pts).query(got_near.face_xy)
+    np.testing.assert_allclose(got_near.dem, z[idx], atol=1e-12)
