@@ -401,9 +401,11 @@ def main():
     # ALWAYS printed (task 1c): normalized efficiency is the number that
     # survives environment swings; wall time alone does not.
     rate = measure_gather_rate()
-    if rate != rate:                       # invalid measurement: retry once,
-        rate = measure_gather_rate()       # then pin to the healthy-chip
-    if rate != rate:                       # record so the JSON stays finite
+    if rate != rate:                       # invalid measurement: retry once
+        time.sleep(5.0)                    # let transient contention drain
+        rate = measure_gather_rate()       # before re-probing (ADVICE r4)
+    gather_measured = rate == rate
+    if not gather_measured:                # pin to the healthy-chip record so
         log("gather microbench invalid twice; roofline uses the healthy-chip "
             "record (flagged gather_rate_measured=false)")
         detail["gather_rate_measured"] = False
@@ -421,8 +423,12 @@ def main():
         log("!" * 72)
     detail.update({
         "gather_rows_per_rollout": int(rows),
-        "gather_rate_rows_per_sec": round(rate, 0),
-        "gather_rate_vs_healthy": round(health, 3),
+        # when the microbench failed twice the rate keys are null: the
+        # substituted healthy-chip record is an assumption, not a measurement
+        # (ADVICE r4) — the roofline floor below still uses it, flagged by
+        # gather_rate_measured=false.
+        "gather_rate_rows_per_sec": round(rate, 0) if gather_measured else None,
+        "gather_rate_vs_healthy": round(health, 3) if gather_measured else None,
         "gather_roofline_seconds": round(floor_s, 4),
         "pct_of_gather_roofline": round(100.0 * floor_s / t, 1),
     })
@@ -437,13 +443,16 @@ def main():
     # 26.2 s @ batch 1 -> 7.35 s @ batch 20; VERDICT r2 task 1d)
     if os.environ.get("BENCH_SCALING", "1") == "1" and batch == 1:
         scaling = {"1": detail["seconds_per_simulation"]}
-        # default {2,4,8}; BENCH_SCALING_MAX=16/20 extends toward the
-        # reference's batch-20 study (each batch adds a fresh ~5 min compile,
-        # so the deep curve is opt-in)
+        # powers of two up to BENCH_SCALING_MAX, plus the cap itself when it
+        # is not a power of two (BENCH_SCALING_MAX=20 really measures batch
+        # 20, the reference's deepest point — ADVICE r4)
+        smax = int(os.environ.get("BENCH_SCALING_MAX", "8"))
         bs, b = [], 2
-        while b <= int(os.environ.get("BENCH_SCALING_MAX", "8")):
+        while b <= smax:
             bs.append(b)
             b *= 2
+        if bs and bs[-1] != smax:
+            bs.append(smax)
         for b in bs:
             rb, gb = _make_rollout_fn(apply_fn, cfg, sample, T, b, "concat")
             t0 = time.time()

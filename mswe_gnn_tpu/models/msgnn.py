@@ -302,7 +302,8 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
                                      same_block=True,
                                      agg_table=tab, agg_mask=tmask,
                                      ea_slots=easl, src_slot_table=srcs,
-                                     band_plan=bp, band_w=bw)
+                                     band_plan=bp, band_w=bw,
+                                     sub_blocks=graph.num_graphs)
         x_down_b[i] = xd_b[i]
         coarse, fine, imask = intra_edges(i)
         if cfg.learned_pooling:
@@ -349,7 +350,8 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
                                          same_block=True,
                                          agg_table=tab, agg_mask=tmask,
                                          ea_slots=easl, src_slot_table=srcs,
-                                         band_plan=bp, band_w=bw)
+                                         band_plan=bp, band_w=bw,
+                                         sub_blocks=graph.num_graphs)
         x_up_b[scale] = xd_b[scale]
 
         if i < L - 1:
@@ -373,7 +375,8 @@ def apply_msgnn(params: dict, cfg: MSGNNConfig, graph: FloodGraph) -> jax.Array:
                                            edge_mask=imask, same_block=False,
                                            dst_sorted=False,
                                            agg_table=utab, agg_mask=umask,
-                                           src_slot_table=usrc)
+                                           src_slot_table=usrc,
+                                           sub_blocks=graph.num_graphs)
             if cfg.skip_connections:
                 xd_b[lvl] = xd_b[lvl] + x_down_b[lvl]
 

@@ -214,6 +214,31 @@ def _edge_flux_slots(
     return slots
 
 
+# Gather-table chunk target for concat-batched hops. Measured on v5e at
+# F=64 bf16 (results_repo/rollout_profile_r4.json + batch_gather_microbench
+# .json): the random-row-gather rate over an evolving [N, F] state table
+# peaks at 0.595-0.599 G rows/s for tables of ~46k-92k rows (whose bf16
+# staging copies fit the ~16 MB VMEM), reads 0.517 at 23k (per-row overheads)
+# and falls to <=0.510 past ~185k (staging exceeds VMEM). Concat batches are
+# therefore hopped in chunks of whole graphs whose row count stays at or
+# under this target; batches at or below it keep the single-block path.
+HOP_CHUNK_TARGET_ROWS = 120_000
+
+
+def _hop_chunks(n_dst: int, n_src: int, sub_blocks: int) -> int:
+    """Smallest chunk count (a divisor of ``sub_blocks``, so chunks are whole
+    graphs of equal padded size) that brings both the dst and src blocks of a
+    concat-batched hop to at most ``HOP_CHUNK_TARGET_ROWS`` rows. Returns 1
+    (single-block hop) when the block already fits or cannot be split."""
+    if sub_blocks <= 1 or n_dst % sub_blocks or n_src % sub_blocks:
+        return 1
+    rows = max(n_dst, n_src)
+    for c in range(1, sub_blocks + 1):
+        if sub_blocks % c == 0 and rows // c <= HOP_CHUNK_TARGET_ROWS:
+            return c
+    return sub_blocks
+
+
 def apply_swegnn_block(
     params: dict,
     cfg: SWEGNNConfig,
@@ -233,6 +258,7 @@ def apply_swegnn_block(
     src_slot_table: Optional[jax.Array] = None,
     band_plan: Optional[dict] = None,
     band_w: Optional[int] = None,
+    sub_blocks: int = 1,
 ) -> jax.Array:
     """One SWEGNN layer on block-local arrays -> updated dst block [Nd, F].
 
@@ -247,6 +273,18 @@ def apply_swegnn_block(
     per-destination incoming-edge slots (ids local to the edge block passed
     in), replacing the segment-sum scatter with gathers — the fast path on
     TPU for bounded-degree meshes.
+
+    ``sub_blocks`` > 1 declares the block a concatenation of that many
+    equal-sized, mutually disconnected sub-graphs (concat batching,
+    graph.py:concat_graphs: each scale block holds the b graphs' sub-blocks
+    back to back). When the union block outgrows the gather unit's
+    VMEM-staging sweet spot (``HOP_CHUNK_TARGET_ROWS``), the hop loop runs
+    per chunk-of-graphs on static slices so every state-table gather stays
+    at the peak rate — the batch-8 dk15 union table (185k rows, 23.7 MB
+    bf16) gathers ~25% under peak as one block
+    (results_repo/batch_gather_microbench.json). Numerics are unchanged:
+    sources of a chunk's rows lie within the chunk (graphs are disjoint;
+    padded slots are masked).
     """
     cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
     n_dst = x_d_dst.shape[0]
@@ -323,6 +361,56 @@ def apply_swegnn_block(
                         agg = agg.astype(cd)
                     out = out + agg
                 return out.astype(x_d_dst.dtype) if cd is not None else out
+        n_src = x_d_src.shape[0]
+        chunks = _hop_chunks(n_dst, n_src, sub_blocks)
+        if chunks > 1:
+            # concat-batch hop: static chunk slices keep every gather on a
+            # state table inside the gather unit's VMEM-staging sweet spot
+            # (see docstring + _hop_chunks). A chunk is a whole number of
+            # graphs, so sources of chunk g are global block ids in
+            # [g*ms, (g+1)*ms) — rebased once here (cheap int VPU work vs
+            # the row gathers it feeds). Masked padding slots alias edge 0
+            # of the whole scale block, so their rebased index is NEGATIVE
+            # for g > 0: take must run with mode='clip' (the default 'fill'
+            # turns them into NaN, and NaN * 0-mask = NaN); the clipped
+            # garbage row is then killed by the slot mask already folded
+            # into s_slots.
+            md, ms = n_dst // chunks, n_src // chunks
+            src_loc = [[src_slots[d][g * md:(g + 1) * md] - g * ms
+                        for d in range(d_max)] for g in range(chunks)]
+            s_loc = [[s_slots[d][g * md:(g + 1) * md] for d in range(d_max)]
+                     for g in range(chunks)]
+            outs = [out[g * md:(g + 1) * md] for g in range(chunks)]
+            srcs_const = (None if same_block else
+                          [out_src[g * ms:(g + 1) * ms]
+                           for g in range(chunks)])
+            for k in range(cfg.K):
+                for g in range(chunks):
+                    o = outs[g]
+                    src_ref = o if same_block else srcs_const[g]
+                    dst_act = (o.sum(axis=1, keepdims=True) != 0).astype(o.dtype)
+                    agg = jnp.zeros_like(o)
+                    for d in range(d_max):
+                        nb = jnp.take(src_ref, src_loc[g][d], axis=0,
+                                      mode="clip")
+                        act = jnp.maximum(
+                            (nb.sum(axis=-1, keepdims=True) != 0).astype(o.dtype),
+                            dst_act)
+                        if cfg.with_gradient:
+                            diff = o - nb
+                            if cfg.upwind_mode:
+                                diff = jnp.maximum(diff, 0.0)
+                            agg = agg + diff * s_loc[g][d] * act
+                        else:
+                            agg = agg + s_loc[g][d] * nb * act
+                    if cfg.with_filter_matrix:
+                        agg = apply_linear(params["filters"][k + 1], agg,
+                                           compute_dtype=cd)
+                    if cd is not None:
+                        agg = agg.astype(cd)
+                    outs[g] = o + agg
+            out = jnp.concatenate(outs, axis=0)
+            return out.astype(x_d_dst.dtype) if cd is not None else out
         if n_dst <= cfg.flat_hop_threshold and same_block:
             # launch-count path for small blocks: one flat gather + one
             # stacked elementwise reduce per hop (vs D kernels each)
@@ -427,6 +515,7 @@ def apply_swegnn(
     src_slot_table: Optional[jax.Array] = None,
     band_plan: Optional[dict] = None,
     band_w: Optional[int] = None,
+    sub_blocks: int = 1,
 ) -> jax.Array:
     """Whole-graph SWEGNN layer: K hops of learned-flux message passing.
 
@@ -452,7 +541,7 @@ def apply_swegnn(
         edge_attr=edge_attr, edge_mask=edge_mask, same_block=same,
         dst_sorted=dst_sorted, agg_table=agg_table, agg_mask=agg_mask,
         ea_slots=ea_slots, src_slot_table=src_slot_table,
-        band_plan=band_plan, band_w=band_w)
+        band_plan=band_plan, band_w=band_w, sub_blocks=sub_blocks)
 
     if dst_range is None:
         return block

@@ -27,11 +27,15 @@ class MetricLogger:
         try:
             import wandb
 
-            if wandb.run is not None:
+            if wandb.run is not None and (
+                    use_wandb or getattr(wandb.run, "sweep_id", None)):
                 # a live run already exists (wandb sweep agent: the run is
                 # opened by the agent before run_training constructs this
                 # logger) — attach so log()/summary() reach the sweep
                 # controller's objective metric; the opener finishes it.
+                # Only attach when asked to (use_wandb) or the run belongs to
+                # a sweep: an unrelated run open in the host process must not
+                # silently receive every epoch metric (ADVICE r4).
                 self._wandb = wandb.run
             elif use_wandb:
                 self._wandb = wandb.init(project=wandb_project or "mswe-gnn-tpu",

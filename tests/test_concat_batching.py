@@ -54,6 +54,37 @@ def test_concat_forward_equals_per_graph():
                 err_msg=f"graph {gi} scale {s}")
 
 
+def test_concat_forward_equals_per_graph_chunked_hop():
+    """Force the chunked hop path (models/swegnn.py:_hop_chunks): production
+    meshes trip it past ~120k union rows, far above test shapes, so the
+    chunk target is lowered to make every scale block split. Covers the
+    rebased-slot clip semantics (padding slots alias edge 0 and rebase
+    negative for chunks > 0 — must clip, not NaN-fill)."""
+    from mswe_gnn_tpu.models import swegnn as swegnn_mod
+
+    samples, _ = make_samples(rollout=2)
+    g_list = samples[:3]
+    cfg, params = make_model(g_list[0], K=2, hid=16)
+    union = concat_graphs(g_list)
+    old = swegnn_mod.HOP_CHUNK_TARGET_ROWS
+    swegnn_mod.HOP_CHUNK_TARGET_ROWS = 1   # every block splits per graph
+    try:
+        out_union = np.asarray(apply_msgnn(params, cfg, union))
+    finally:
+        swegnn_mod.HOP_CHUNK_TARGET_ROWS = old
+    assert np.isfinite(out_union).all()
+    s0 = g_list[0].spec
+    for gi, g in enumerate(g_list):
+        out_single = np.asarray(apply_msgnn(params, cfg, g))
+        for s in range(s0.num_scales):
+            n_s = s0.node_counts[s]
+            lo = union.spec.node_ptr[s] + gi * n_s
+            np.testing.assert_allclose(
+                out_union[lo: lo + n_s],
+                out_single[s0.node_slice(s)], rtol=2e-4, atol=2e-5,
+                err_msg=f"graph {gi} scale {s} (chunked hop)")
+
+
 def test_concat_loss_equals_vmap_loss():
     samples, _ = make_samples(rollout=2)
     g_list = samples[:4]
