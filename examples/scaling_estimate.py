@@ -54,7 +54,7 @@ PPERMUTE_LATENCY_S = 2e-6            # per collective hop (conservative)
 BF16_BYTES = 2                       # hop-path compute dtype
 
 
-def build_plans(n_parts):
+def build_plans(n_parts, widths=(1, 2, 3)):
     from bench import build_bench_problem
     from mswe_gnn_tpu.parallel.dist_swegnn import (
         build_dist_msgnn_inputs, reorder_graph_for_ring,
@@ -64,47 +64,76 @@ def build_plans(n_parts):
     g, _ = reorder_graph_for_ring(sample)
     out = {}
     for p in n_parts:
-        dist = build_dist_msgnn_inputs(g, p)
-        out[p] = (dist, cfg, g)
+        for w in widths:
+            dist = build_dist_msgnn_inputs(g, p, halo_width=w)
+            out[(p, w)] = (dist, cfg, g)
     return out
 
 
-def exchanges_per_step(dist, cfg, spec):
+def exchanges_per_step(dist, cfg, spec, width=1):
     """Every halo exchange one V-cycle step performs: (halo_rows, feat) per
-    exchange. Mirrors the layer structure counted by bench.count_gather_rows
-    (each hop re-ships the updated boundary state; pool/unpool transfers
-    ship once per crossing)."""
+    exchange. Width-W processor plans (round 5, build_wide_halo_plan) do one
+    exchange per W hops, shipping the W-deep halo; the per-layer flux
+    projection exchange (2F features: src+dst projections ride together) is
+    now counted too — the round-4 model omitted it. Pool/unpool transfers
+    ship once per crossing."""
     L = spec.num_scales
     ks = list(cfg.k_schedule)
     F = cfg.hid_features
+    wm = dist.get("wide_meta")
     ex = []
 
     def halo(plan):
         return int(plan["send_next"].shape[1])
 
+    def proc_ex(i, k):
+        h = halo(dist["proc"][i])
+        w = wm[i][0] if wm is not None else 1
+        n_hop = -(-k // w)                       # ceil(K / W)
+        return [(h, F)] * n_hop + [(h, 2 * F)]   # hops + flux projection
+
     for i in range(L - 1):                      # downsweep + pool
-        ex += [(halo(dist["proc"][i]), F)] * ks[i]
+        ex += proc_ex(i, ks[i])
         ex += [(halo(dist["pool"][i]), F)]
     for i in range(L):                          # upsweep
         s = L - 1 - i
-        ex += [(halo(dist["proc"][s]), F)] * ks[L - 1 + i]
+        ex += proc_ex(s, ks[L - 1 + i])
     for lvl in range(L - 1):                    # un-pool intra layers (K=1)
         ex += [(halo(dist["unpool"][lvl]), F)]
     return ex
 
 
-def model_point(p, dist, cfg, g):
-    ex = exchanges_per_step(dist, cfg, g.spec)
-    comm = sum(PPERMUTE_LATENCY_S
-               + h * f * BF16_BYTES / ICI_ONEWAY_BYTES_PER_S
+def model_point(p, dist, cfg, g, width=1, latency=PPERMUTE_LATENCY_S):
+    ex = exchanges_per_step(dist, cfg, g.spec, width=width)
+    n_proj = 2 * g.spec.num_scales - 1           # flux-projection exchanges
+    comm = sum(latency + h * f * BF16_BYTES / ICI_ONEWAY_BYTES_PER_S
                for h, f in ex)
     compute = T1_STEP / p
+    # width > 1 re-computes rings 1..W-1 locally: add the redundant halo-row
+    # work — per W-hop window, the rows of rings < W (both sides,
+    # ring_ptr[W-1] per side) are updated on W-1 of the W hops,
+    # conservatively priced at the same per-row cost as local rows and
+    # weighted by the scale's node share of the step
+    if width > 1:
+        wm = dist.get("wide_meta") or ()
+        extra = 0.0
+        for i, m in enumerate(wm):
+            if m[0] > 1:
+                upd_rows = 2 * m[1][m[0] - 1]          # rings < W, both sides
+                frac_hops = (m[0] - 1) / m[0]
+                extra += (upd_rows * frac_hops
+                          / max(g.spec.node_counts[i] // p, 1)
+                          * (g.spec.node_counts[i] / sum(g.spec.node_counts)))
+        compute = compute * (1.0 + extra)
     t_serial = compute + comm
-    t_overlap = max(compute, comm) + PPERMUTE_LATENCY_S * len(ex)
+    t_overlap = max(compute, comm) + latency * len(ex)
     bytes_step = sum(2 * h * f * BF16_BYTES for h, f in ex)  # both directions
     return {
         "n_chips": p,
+        "halo_width": width,
+        "latency_us": round(latency * 1e6, 1),
         "exchanges_per_step": len(ex),
+        "hop_and_transfer_exchanges": len(ex) - n_proj,
         "halo_rows_max": max(h for h, _ in ex),
         "halo_bytes_per_step": int(bytes_step),
         "comm_ms_per_step": round(comm * 1e3, 4),
@@ -130,18 +159,23 @@ def dp_gradient_sync_model(p):
 
 def main():
     parts = [2, 4, 8, 16]
-    plans = build_plans(parts)
-    rows, dp_rows = [], []
+    widths = (1, 2, 3)
+    latencies = (PPERMUTE_LATENCY_S, 10e-6)   # assumed + pessimistic
+    plans = build_plans(parts, widths)
+    rows, sens, dp_rows = [], [], []
     for p in parts:
-        dist, cfg, g = plans[p]
-        if dist is None:
-            rows.append({"n_chips": p, "ring_feasible": False})
-            continue
-        r = model_point(p, dist, cfg, g)
-        r["ring_feasible"] = True
-        rows.append(r)
+        for w in widths:
+            dist, cfg, g = plans[(p, w)]
+            if dist is None:
+                rows.append({"n_chips": p, "halo_width": w,
+                             "ring_feasible": False})
+                continue
+            for lat in latencies:
+                r = model_point(p, dist, cfg, g, width=w, latency=lat)
+                r["ring_feasible"] = True
+                (rows if lat == PPERMUTE_LATENCY_S else sens).append(r)
+                print(json.dumps(r))
         dp_rows.append(dp_gradient_sync_model(p))
-        print(json.dumps(r))
     out = {
         "inputs": {
             "device_seconds_per_rollout_1chip": DEVICE_SECONDS_PER_ROLLOUT,
@@ -153,6 +187,7 @@ def main():
             "source": "BENCH_r03.json device timings + public v5e ICI rates",
         },
         "ring_halo_inference": rows,
+        "latency_sensitivity_10us": sens,
         "data_parallel_training": dp_rows,
         "baseline_target_efficiency": 0.75,
     }
@@ -169,7 +204,9 @@ def render(out):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    rows = [r for r in out["ring_halo_inference"] if r.get("ring_feasible")]
+    feas = [r for r in out["ring_halo_inference"] if r.get("ring_feasible")]
+    rows = [r for r in feas if r.get("halo_width", 1) == 1]
+    rows_w = [r for r in feas if r.get("halo_width", 1) == 2]
     if len(rows) < 2:
         return
     P = [r["n_chips"] for r in rows]
@@ -177,12 +214,16 @@ def render(out):
     eo = [100 * r["efficiency_overlapped"] for r in rows]
     SURF, INK, INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
     BLUE, ORANGE = "#2a78d6", "#eb6834"
+    GREEN = "#2e8b57"
     fig, ax = plt.subplots(figsize=(6.2, 4.2), facecolor=SURF)
     ax.set_facecolor(SURF)
     ax.plot(P, eo, "-o", color=BLUE, lw=2, ms=5,
             label="overlapped (upper bound)")
     ax.plot(P, es, "-o", color=ORANGE, lw=2, ms=5,
             label="serial (lower bound)")
+    if len(rows_w) == len(P):
+        ax.plot(P, [100 * r["efficiency_serial"] for r in rows_w], "-s",
+                color=GREEN, lw=2, ms=5, label="serial, width-2 halos")
     ax.axhline(75, color=INK2, lw=1, ls="--")
     ax.text(P[-1], 75.7, "BASELINE target 75%", ha="right", fontsize=8,
             color=INK2)

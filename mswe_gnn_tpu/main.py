@@ -364,7 +364,10 @@ def run_training(cfg: Dict, out_dir: str,
                 make_mesh(n_data, n_graph), model_cfg, train[0], n_graph,
                 # overlap halo exchange with interior slot aggregation
                 # (parallel/dist_swegnn.py pack_halo_slots; VERDICT r1 #10)
-                overlap=bool(par.get("overlap", False)))
+                overlap=bool(par.get("overlap", False)),
+                # width-W halos: one boundary exchange per W hops
+                # (dist_swegnn.build_wide_halo_plan; VERDICT r4 #5)
+                halo_width=int(par.get("halo_width", 1)))
         if dist_apply is None:
             print("ring_halo unavailable (non-MSGNN model or ring plan "
                   "failure); falling back to GSPMD")

@@ -34,6 +34,7 @@ TPU-native design choices (all numerics preserved exactly, see tests):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -214,15 +215,20 @@ def _edge_flux_slots(
     return slots
 
 
-# Gather-table chunk target for concat-batched hops. Measured on v5e at
-# F=64 bf16 (results_repo/rollout_profile_r4.json + batch_gather_microbench
-# .json): the random-row-gather rate over an evolving [N, F] state table
-# peaks at 0.595-0.599 G rows/s for tables of ~46k-92k rows (whose bf16
-# staging copies fit the ~16 MB VMEM), reads 0.517 at 23k (per-row overheads)
-# and falls to <=0.510 past ~185k (staging exceeds VMEM). Concat batches are
-# therefore hopped in chunks of whole graphs whose row count stays at or
-# under this target; batches at or below it keep the single-block path.
-HOP_CHUNK_TARGET_ROWS = 120_000
+# Gather-table chunk target for concat-batched hops. The bare-gather
+# microbench says per-graph 23k-row tables gather ~29% faster than a 185k
+# batch-8 union (results_repo/batch_gather_microbench.json), but in the REAL
+# rollout the hop gathers fuse with the flux elementwise chain and the
+# end-to-end effect inverts: measured dk15 batch curves on v5e read
+# batch 4 = 0.2132 s/sim as one 92k block vs 0.2294 as two 46k chunks, and
+# batch 8 = 0.2707 unchunked vs 0.2783 at two 92k chunks / 0.2664 at eight
+# 23k chunks — chunking never beats the fused single-block hop at dk15
+# scale (ROADMAP round 5). The default therefore only chunks unions past
+# ~200k rows (= beyond the measured batch-8 regime, where VMEM staging of
+# the state table is unambiguously blown); the machinery and its parity
+# test stay for the larger meshes where it applies. Override with
+# MSWE_HOP_CHUNK_ROWS for experiments.
+HOP_CHUNK_TARGET_ROWS = int(os.environ.get("MSWE_HOP_CHUNK_ROWS", 200_000))
 
 
 def _hop_chunks(n_dst: int, n_src: int, sub_blocks: int) -> int:

@@ -143,6 +143,335 @@ def build_dist_slot_plan(src_slots: np.ndarray, slot_mask: np.ndarray,
     return plan
 
 
+def build_wide_halo_plan(src_slots: np.ndarray, slot_mask: np.ndarray,
+                         num_nodes: int, n_parts: int, width: int,
+                         ea_slots_global: Optional[np.ndarray] = None,
+                         ) -> Optional[dict]:
+    """Width-``W`` ring-halo plan: ONE boundary exchange per ``W`` hops.
+
+    The W=1 scheme (build_dist_slot_plan) ships ring-1 boundary rows before
+    every hop — K collectives per K-hop layer, which is what makes the
+    multi-chip model latency-dominated (results_repo/scaling_model.md: 29
+    exchanges x latency = ~87% of per-step comm). Here each part receives
+    the W-hop closure of its boundary (rings 1..W) once per window and
+    locally re-computes the updates of rings 1..W-1 between exchanges —
+    the classic deep-halo trade: ceil(K/W) collectives per layer for
+    O(ring_W - ring_1) redundant rows of compute/traffic (sub-1% of a block
+    on banded meshes).
+
+    Plan contents (all numpy; per-ring segments padded to the max count over
+    parts AND sides so prefix slices are static):
+      src_tab    [P, B, D]   local rows' buffer-relative slot sources
+      slot_mask  [P, B, D]
+      send_next/send_prev [P, H] rows shipped to the ring neighbors,
+                 ring-major (receiver's ring order); H = sum of ring pads
+      ring_ptr   tuple [W+1] prefix lengths of ring segments (0, h1, h1+h2..)
+      ext_tab    [P, 2H, D]  buffer-relative slot sources of halo rows
+                 (prev-side rows then next-side rows); real only for rings
+                 1..W-1 (deeper rings are never locally updated)
+      ext_mask   [P, 2H, D]
+      ext_ea     [P, 2H, D, Fe] raw edge attrs of halo rows' slots (when
+                 ``ea_slots_global`` [N, D, Fe] is given)
+      halo H, block B, width W
+
+    Buffer layout everywhere: [local B | from_prev H | from_next H].
+    Returns None when any closure row is not owned by a ring-adjacent part
+    (caller falls back to W=1 or GSPMD).
+    """
+    assert num_nodes % n_parts == 0
+    assert width >= 1
+    B = num_nodes // n_parts
+    src = np.asarray(src_slots)
+    msk = np.asarray(slot_mask) > 0
+    d_max = src.shape[1]
+
+    def sources_of(rows):
+        if len(rows) == 0:
+            return np.zeros(0, np.int64)
+        r = np.asarray(rows)
+        return np.unique(src[r][msk[r]])
+
+    # rings[p][r-1] = sorted global ids at hop distance r from p's block
+    rings = []
+    for p in range(n_parts):
+        local_lo, local_hi = p * B, (p + 1) * B
+        known = np.zeros(num_nodes, bool)
+        known[local_lo:local_hi] = True
+        frontier = np.arange(local_lo, local_hi)
+        prings = []
+        for _ in range(width):
+            s = sources_of(frontier)
+            s = s[~known[s]]
+            owners = s // B
+            ok = (owners == (p - 1) % n_parts) | (owners == (p + 1) % n_parts)
+            if not np.all(ok):
+                return None          # closure escapes the ring neighborhood
+            prings.append(s)
+            known[s] = True
+            frontier = s
+        rings.append(prings)
+
+    # per-ring, per-side padded counts (uniform across parts and sides)
+    h_r = []
+    for r in range(width):
+        m = 1 if r == 0 else 0
+        for p in range(n_parts):
+            prv, nxt = (p - 1) % n_parts, (p + 1) % n_parts
+            own = rings[p][r] // B
+            m = max(m, int((own == prv).sum()), int((own == nxt).sum()))
+        h_r.append(m)
+    ring_ptr = tuple(np.cumsum([0] + h_r).tolist())
+    H = ring_ptr[-1]
+
+    # per part: ring-major (side-split) halo row lists + buffer positions
+    halo_prev = np.zeros((n_parts, H), np.int64)   # global ids (0 = pad)
+    halo_next = np.zeros((n_parts, H), np.int64)
+    halo_prev_real = np.zeros((n_parts, H), bool)
+    halo_next_real = np.zeros((n_parts, H), bool)
+    pos = [dict() for _ in range(n_parts)]         # global id -> buffer pos
+    for p in range(n_parts):
+        prv, nxt = (p - 1) % n_parts, (p + 1) % n_parts
+        for r in range(width):
+            own = rings[p][r] // B
+            for side, q, arr, real in (
+                    (0, prv, halo_prev, halo_prev_real),
+                    (1, nxt, halo_next, halo_next_real)):
+                rows = rings[p][r][own == q]
+                o = ring_ptr[r]
+                arr[p, o:o + len(rows)] = rows
+                real[p, o:o + len(rows)] = True
+                base = B + H if side else B
+                for i, g in enumerate(rows):
+                    pos[p][int(g)] = base + o + i
+
+    # send tables: what p ships = its neighbor's halo rows that p owns
+    send_next = np.zeros((n_parts, H), np.int32)
+    send_prev = np.zeros((n_parts, H), np.int32)
+    for p in range(n_parts):
+        nxt, prv = (p + 1) % n_parts, (p - 1) % n_parts
+        send_next[p] = halo_prev[nxt] - p * B      # p+1's prev side = p's rows
+        send_next[p][~halo_prev_real[nxt]] = 0
+        send_prev[p] = halo_next[prv] - p * B
+        send_prev[p][~halo_next_real[prv]] = 0
+        assert np.all(send_next[p] >= 0) and np.all(send_next[p] < B)
+        assert np.all(send_prev[p] >= 0) and np.all(send_prev[p] < B)
+
+    # local slot tables (buffer-relative)
+    src_tab = np.zeros((n_parts, B, d_max), np.int32)
+    out_mask = np.zeros((n_parts, B, d_max), np.float32)
+    upd = width > 1
+    ext_tab = np.zeros((n_parts, 2 * H, d_max), np.int32)
+    ext_mask = np.zeros((n_parts, 2 * H, d_max), np.float32)
+    fe = 0 if ea_slots_global is None else ea_slots_global.shape[-1]
+    ext_ea = np.zeros((n_parts, 2 * H, d_max, fe), np.float32)
+    for p in range(n_parts):
+        lut = pos[p]
+
+        def remap(g):
+            return (g - p * B) if g // B == p else lut[int(g)]
+
+        for i in range(B):
+            gi = p * B + i
+            for d in range(d_max):
+                if msk[gi, d]:
+                    src_tab[p, i, d] = remap(src[gi, d])
+                    out_mask[p, i, d] = 1.0
+        if not upd:
+            continue
+        # halo-row tables for rings 1..width-1 (the locally-updated rows)
+        for side, arr, real in ((0, halo_prev, halo_prev_real),
+                                (1, halo_next, halo_next_real)):
+            base = side * H
+            for j in range(ring_ptr[width - 1]):   # rings < width only
+                if not real[p, j]:
+                    continue
+                gq = int(arr[p, j])
+                for d in range(d_max):
+                    if msk[gq, d]:
+                        ext_tab[p, base + j, d] = remap(src[gq, d])
+                        ext_mask[p, base + j, d] = 1.0
+                if fe:
+                    ext_ea[p, base + j] = (ea_slots_global[gq]
+                                           * msk[gq][:, None])
+
+    return {"src_tab": src_tab, "slot_mask": out_mask,
+            "send_next": send_next, "send_prev": send_prev,
+            "ring_ptr": ring_ptr, "ext_tab": ext_tab, "ext_mask": ext_mask,
+            "ext_ea": ext_ea, "halo": H, "block": B, "width": width,
+            "n_parts": n_parts}
+
+
+def _halo_rows(x_block: jax.Array, send_next: jax.Array,
+               send_prev: jax.Array, axis_size: int):
+    """One bidirectional boundary exchange -> (from_prev, from_next) halo
+    rows (the [B+2H] buffer minus the local block)."""
+    rows_next = jnp.take(x_block, send_next, axis=0)
+    rows_prev = jnp.take(x_block, send_prev, axis=0)
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    return (jax.lax.ppermute(rows_next, AXIS, perm=fwd),
+            jax.lax.ppermute(rows_prev, AXIS, perm=bwd))
+
+
+def _dist_layer_wide(params, cfg: SWEGNNConfig, x_s, x_d, plan: dict,
+                     ea_local, ea_ext, axis_size: int):
+    """Same-block processor layer on a width-W plan: ceil(K/W) boundary
+    exchanges instead of K. Between exchanges the part re-computes the
+    updates of halo rings 1..W-1 locally (identical per-row math, so
+    numerics match the single-device layer to float tolerance — the
+    redundant halo-row filter matmuls may tile differently than the owner's
+    block matmul, same reassociation caveat as the packed W=1 plans).
+
+    ``plan`` leaves are this part's slices: src_tab/smask [B, D], ext_tab/
+    ext_mask [2H, D], send_next/send_prev [H]; ``ring_ptr``/``width`` are
+    static. ``ea_local`` [B, D, Fe] / ``ea_ext`` [2H, D, Fe] are the
+    (encoded) per-slot edge features.
+    """
+    from mswe_gnn_tpu.models.activations import apply_activation
+
+    width = plan["width"]
+    ring_ptr = plan["ring_ptr"]
+    H = int(plan["halo"])
+    src_tab, smask = plan["src_tab"], plan["smask"]
+    ext_tab, ext_mask = plan["ext_tab"], plan["ext_mask"]
+    send_next, send_prev = plan["send_next"], plan["send_prev"]
+    cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
+
+    if cfg.with_filter_matrix:
+        out = apply_linear(params["filters"][0], x_d, compute_dtype=cd)
+    else:
+        out = x_d
+
+    # --- flux (hop-invariant): one widened projection exchange per layer
+    mlp = params["edge_mlp"]
+    lin0 = mlp["layers"][0]
+    W = lin0["w"]
+    s, d, fe = cfg.static_node_features, cfg.dynamic_node_features, cfg.edge_features
+    proj_src = (matmul(x_s, W[:s], cd)
+                + matmul(x_d, W[2 * s: 2 * s + d], cd))
+    proj_dst = (matmul(x_s, W[s: 2 * s], cd)
+                + matmul(x_d, W[2 * s + d: 2 * s + 2 * d], cd))
+    W_e = W[2 * s + 2 * d:]
+    rest = {"layers": mlp["layers"][1:], "acts": mlp["acts"][1:],
+            "norms": mlp["norms"][1:]}
+    d_max = src_tab.shape[1]
+
+    both = jnp.concatenate([proj_src, proj_dst], axis=-1)
+    hp, hn = _halo_rows(both, send_next, send_prev, axis_size)
+    ps_buf = jnp.concatenate([proj_src, hp[:, :proj_src.shape[1]],
+                              hn[:, :proj_src.shape[1]]], axis=0)
+    pd_ext = jnp.concatenate([hp[:, proj_src.shape[1]:],
+                              hn[:, proj_src.shape[1]:]], axis=0)  # [2H, Hf]
+
+    def flux(tab, mask, p_dst, ea):
+        slots = []
+        for k in range(d_max):
+            h = jnp.take(ps_buf, tab[:, k], axis=0) + p_dst
+            if fe > 0:
+                h = h + matmul(ea[:, k], W_e, cd)
+            if "b" in lin0:
+                h = h + lin0["b"]
+            h = apply_activation(cfg.mlp_activation, mlp["acts"][0], h)
+            s_k = apply_mlp(rest, h, activation=cfg.mlp_activation,
+                            compute_dtype=cd)
+            if cfg.normalize:
+                nrm = jnp.linalg.norm(s_k, axis=-1, keepdims=True)
+                s_k = jnp.where(nrm > 0, s_k / jnp.where(nrm > 0, nrm, 1.0),
+                                0.0)
+            slots.append(s_k * mask[:, k:k + 1])
+        return slots
+
+    s_local = flux(src_tab, smask, proj_dst, ea_local)
+    upd = width > 1 and ring_ptr[width - 1] > 0
+    s_ext = (flux(ext_tab, ext_mask, pd_ext, ea_ext) if upd else None)
+
+    def hop_update(rows_out, tab, mask_unused, s_slots, buf, lo=0, hi=None):
+        """One hop's aggregation for ``rows_out`` (their slot tables sliced
+        [lo:hi] rows) reading neighbor state from ``buf``."""
+        hi = tab.shape[0] if hi is None else hi
+        o = rows_out
+        dst_act = (o.sum(axis=1, keepdims=True) != 0).astype(o.dtype)
+        agg = jnp.zeros_like(o)
+        for k in range(d_max):
+            nb = jnp.take(buf, tab[lo:hi, k], axis=0)
+            act = jnp.maximum(
+                (nb.sum(axis=-1, keepdims=True) != 0).astype(o.dtype),
+                dst_act)
+            if cfg.with_gradient:
+                diff = o - nb
+                if cfg.upwind_mode:
+                    diff = jnp.maximum(diff, 0.0)
+                agg = agg + diff * s_slots[k][lo:hi] * act
+            else:
+                agg = agg + s_slots[k][lo:hi] * nb * act
+        return agg
+
+    if cd is not None:
+        s_local = [x.astype(cd) for x in s_local]
+        if s_ext is not None:
+            s_ext = [x.astype(cd) for x in s_ext]
+        out = out.astype(cd)
+
+    k = 0
+    while k < cfg.K:
+        w = min(width, cfg.K - k)
+        hp, hn = _halo_rows(out, send_next, send_prev, axis_size)
+        ext_out = jnp.concatenate([hp, hn], axis=0)          # [2H, F]
+        for j in range(w):
+            buf = jnp.concatenate([out, ext_out], axis=0)
+            agg = hop_update(out, src_tab, smask, s_local, buf)
+            if cfg.with_filter_matrix:
+                agg = apply_linear(params["filters"][k + j + 1], agg,
+                                   compute_dtype=cd)
+            if cd is not None:
+                agg = agg.astype(cd)
+            new_out = out + agg
+            if j < w - 1:
+                pfx = ring_ptr[w - 1 - j]    # rings needed by remaining hops
+                parts = []
+                for base in (0, H):          # prev side, next side
+                    rows = ext_out[base: base + pfx]
+                    agg_e = hop_update(rows, ext_tab, ext_mask, s_ext, buf,
+                                       lo=base, hi=base + pfx)
+                    if cfg.with_filter_matrix:
+                        agg_e = apply_linear(params["filters"][k + j + 1],
+                                             agg_e, compute_dtype=cd)
+                    if cd is not None:
+                        agg_e = agg_e.astype(cd)
+                    parts.append(jnp.concatenate(
+                        [rows + agg_e, ext_out[base + pfx: base + H]], axis=0))
+                ext_out = jnp.concatenate(parts, axis=0)
+            out = new_out
+        k += w
+    return out.astype(x_d.dtype) if cd is not None else out
+
+
+def make_dist_swegnn_wide(mesh: Mesh, cfg: SWEGNNConfig, width: int,
+                          ring_ptr, halo: int):
+    """shard_map wrapper over :func:`_dist_layer_wide` (unit-test surface;
+    the MSGNN forward embeds the layer body directly). ``ring_ptr``/``halo``
+    are the static plan metadata (build_wide_halo_plan)."""
+    axis_size = mesh.shape[AXIS]
+    ring_ptr = tuple(int(x) for x in ring_ptr)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+                  P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS, None),
+    )
+    def layer(params, x_s, x_d, src_tab, smask, ea_local, ext_tab, ext_mask,
+              ea_ext, send_next, send_prev):
+        plan = {"src_tab": src_tab[0], "smask": smask[0],
+                "ext_tab": ext_tab[0], "ext_mask": ext_mask[0],
+                "send_next": send_next[0], "send_prev": send_prev[0],
+                "halo": halo, "width": width, "ring_ptr": ring_ptr}
+        return _dist_layer_wide(params, cfg, x_s, x_d, plan,
+                                ea_local[0], ea_ext[0], axis_size)
+
+    return layer
+
+
 def _halo_concat(x_block: jax.Array, send_next: jax.Array,
                  send_prev: jax.Array, axis_size: int) -> jax.Array:
     """[B, F] local block -> [B + 2H, F] buffer via two boundary ppermutes."""
@@ -525,7 +854,8 @@ def reorder_graph_for_ring(graph, n_parts: int = 0):
 
 
 def build_dist_msgnn_inputs(graph, n_parts: int,
-                            overlap: bool = False) -> Optional[dict]:
+                            overlap: bool = False,
+                            halo_width: int = 1) -> Optional[dict]:
     """Host-side: partition a multiscale ``FloodGraph`` for the distributed
     MSGNN forward — one ring plan per scale (processors) and per transfer
     level (pool: fine->coarse, unpool: coarse->fine). All leaves part-major
@@ -536,7 +866,19 @@ def build_dist_msgnn_inputs(graph, n_parts: int,
     trailing slots and adds a top-level ``"overlap"`` tuple (per-scale
     interior-slot counts). Pop it and pass to
     ``make_dist_msgnn_forward(..., overlap=...)`` — it is static metadata,
-    not a shardable leaf."""
+    not a shardable leaf.
+
+    ``halo_width`` > 1 builds width-W processor plans (one boundary
+    exchange per W hops, build_wide_halo_plan — K-schedule 5 drops a
+    V-cycle step from 25+4 to 15+4 exchanges at W=2): the result carries a
+    top-level ``"wide_meta"`` tuple (per-scale (width, ring_ptr, halo),
+    width 1 = that scale fell back to the per-hop plan because its W-hop
+    closure escaped ring adjacency). Pop and pass to
+    ``make_dist_msgnn_forward(..., wide_meta=...)``. Mutually exclusive
+    with ``overlap`` (wide plans overlap differently: the exchange itself
+    amortizes over W hops)."""
+    assert not (overlap and halo_width > 1), \
+        "overlap packing and wide halos are mutually exclusive"
     spec = graph.spec
     L = spec.num_scales
     node_ptr = np.asarray(spec.node_ptr)
@@ -555,26 +897,43 @@ def build_dist_msgnn_inputs(graph, n_parts: int,
     out = {"x_static": [], "x_dynamic": [], "node_mask": [],
            "proc": [], "pool": [], "unpool": []}
     n_interior = []
+    wide_meta = []
     for i in range(L):
         tab = np.maximum(np.asarray(graph.in_edge_table)[
             node_ptr[i]: node_ptr[i + 1]] - edge_ptr[i], 0)
         tmask = np.asarray(graph.in_edge_mask)[node_ptr[i]: node_ptr[i + 1]]
         src_local = ei[0, edge_ptr[i]: edge_ptr[i + 1]] - node_ptr[i]
+        ea = np.asarray(graph.edge_attr)[edge_ptr[i]: edge_ptr[i + 1]]
+        ea_slots_flat = (ea[tab] * tmask[..., None]).astype(np.float32)
+        wide = None
+        if halo_width > 1:
+            wide = build_wide_halo_plan(
+                src_local[tab], tmask, counts[i], n_parts, halo_width,
+                ea_slots_global=ea_slots_flat)
         plan = build_dist_slot_plan(src_local[tab], tmask, counts[i], n_parts,
-                                    pack_halo_slots=overlap)
+                                    pack_halo_slots=overlap) \
+            if wide is None else wide
         if plan is None:
             return None
-        ea = np.asarray(graph.edge_attr)[edge_ptr[i]: edge_ptr[i + 1]]
-        ea_slots = (ea[tab] * tmask[..., None]).reshape(
+        ea_slots = ea_slots_flat.reshape(
             (n_parts, counts[i] // n_parts) + (tab.shape[1], ea.shape[1]))
         if overlap:
             ea_slots = np.take_along_axis(
                 ea_slots, plan.pop("perm")[..., None], axis=2)
             n_interior.append(plan.pop("n_interior"))
-        out["proc"].append({
-            "src_tab": plan["src_tab"], "smask": plan["slot_mask"],
-            "ea": ea_slots.astype(np.float32),
-            "send_next": plan["send_next"], "send_prev": plan["send_prev"]})
+        proc = {"src_tab": plan["src_tab"], "smask": plan["slot_mask"],
+                "ea": ea_slots,
+                "send_next": plan["send_next"], "send_prev": plan["send_prev"]}
+        if wide is not None:
+            proc["ext_tab"] = plan["ext_tab"]
+            proc["ext_mask"] = plan["ext_mask"]
+            proc["ext_ea"] = plan["ext_ea"]
+            wide_meta.append((halo_width, plan["ring_ptr"],
+                              int(plan["halo"])))
+        elif halo_width > 1:
+            # this scale's W-hop closure escaped ring adjacency: per-hop plan
+            wide_meta.append((1, None, None))
+        out["proc"].append(proc)
         out["x_static"].append(part(graph.x_static, i))
         out["x_dynamic"].append(part(graph.x_dynamic, i))
         out["node_mask"].append(part(graph.node_mask, i))
@@ -623,11 +982,14 @@ def build_dist_msgnn_inputs(graph, n_parts: int,
         out["overlap"] = tuple(n_interior)
         out["overlap_pool"] = tuple(overlap_pool)
         out["overlap_unpool"] = tuple(overlap_unpool)
+    if halo_width > 1:
+        out["wide_meta"] = tuple(wide_meta)
     return out
 
 
 def make_dist_msgnn_forward(mesh: Mesh, cfg, overlap=None,
-                            overlap_pool=None, overlap_unpool=None):
+                            overlap_pool=None, overlap_unpool=None,
+                            wide_meta=None):
     """Distributed multiscale MSGNN forward (models/msgnn.py:apply_msgnn)
     over the graph mesh axis: every scale's nodes are partitioned into P
     ring-ordered blocks; processors exchange boundary rows per hop, pooling /
@@ -697,16 +1059,34 @@ def make_dist_msgnn_forward(mesh: Mesh, cfg, overlap=None,
                                   activation=cfg.mlp_activation))
             nm_b.append(dist["node_mask"][i][0])
 
-        ea_b = []
+        ea_b, ea_ext_b = [], []
         for i in range(L):
-            ea = dist["proc"][i]["ea"][0]
+            pl = dist["proc"][i]
+            ea = pl["ea"][0]
+            ea_ext = pl["ext_ea"][0] if "ext_ea" in pl else None
             if cfg.edge_mlp:
                 ea = apply_mlp(params["edge_encoder"], ea,
                                activation=cfg.mlp_activation)
+                if ea_ext is not None and ea_ext.shape[-1] > 0:
+                    ea_ext = apply_mlp(params["edge_encoder"], ea_ext,
+                                       activation=cfg.mlp_activation)
             ea_b.append(ea)
+            ea_ext_b.append(ea_ext)
 
         def proc(i, gnn_id):
             pl = dist["proc"][i]
+            wm = None if wide_meta is None else wide_meta[i]
+            if wm is not None and wm[0] > 1:
+                plan = {"src_tab": pl["src_tab"][0], "smask": pl["smask"][0],
+                        "ext_tab": pl["ext_tab"][0],
+                        "ext_mask": pl["ext_mask"][0],
+                        "send_next": pl["send_next"][0],
+                        "send_prev": pl["send_prev"][0],
+                        "width": wm[0], "ring_ptr": wm[1], "halo": wm[2]}
+                return _dist_layer_wide(
+                    params["gnn_processor"][gnn_id],
+                    cfg.processor_cfg(ks[gnn_id]),
+                    xs_b[i], xd_b[i], plan, ea_b[i], ea_ext_b[i], axis_size)
             return _dist_layer_local(
                 params["gnn_processor"][gnn_id], cfg.processor_cfg(ks[gnn_id]),
                 xs_b[i], xd_b[i], pl["src_tab"][0], pl["smask"][0], ea_b[i],

@@ -32,8 +32,8 @@ from mswe_gnn_tpu.parallel.dist_swegnn import (
 
 
 def make_dist_apply_fn(mesh: Mesh, cfg, template: FloodGraph,
-                       n_parts: int, overlap: bool = False
-                       ) -> Optional[Callable]:
+                       n_parts: int, overlap: bool = False,
+                       halo_width: int = 1) -> Optional[Callable]:
     """``apply_fn(params, cfg, graph) -> [N, 2]`` routed through the ring-halo
     MSGNN forward.
 
@@ -43,14 +43,20 @@ def make_dist_apply_fn(mesh: Mesh, cfg, template: FloodGraph,
     topology (same mesh, same ring ordering): temporal windows of one
     simulation do. Returns None when the template's partition violates the
     ring assumption (caller falls back to GSPMD).
+
+    ``halo_width`` > 1 selects width-W halo plans (one boundary exchange per
+    W hops — dist_swegnn.build_wide_halo_plan); mutually exclusive with
+    ``overlap``.
     """
-    dist0 = build_dist_msgnn_inputs(template, n_parts, overlap=overlap)
+    dist0 = build_dist_msgnn_inputs(template, n_parts, overlap=overlap,
+                                    halo_width=halo_width)
     if dist0 is None:
         return None
     fwd = make_dist_msgnn_forward(
         mesh, cfg, overlap=dist0.pop("overlap", None),
         overlap_pool=dist0.pop("overlap_pool", None),
-        overlap_unpool=dist0.pop("overlap_unpool", None))
+        overlap_unpool=dist0.pop("overlap_unpool", None),
+        wide_meta=dist0.pop("wide_meta", None))
     spec = template.spec
     node_ptr = tuple(int(p) for p in np.asarray(spec.node_ptr))
     counts = tuple(spec.node_counts)

@@ -75,6 +75,61 @@ def test_dist_swegnn_matches_block(rng, with_grad, fe):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("width,with_grad,fe", [(2, True, 3), (3, True, 3),
+                                                (2, False, 0)])
+def test_wide_halo_matches_block(rng, width, with_grad, fe):
+    """Width-W halo layer (one exchange per W hops, rings 1..W-1 re-computed
+    locally) vs the single-device block layer — exact same per-row math."""
+    from mswe_gnn_tpu.parallel.dist_swegnn import (
+        build_wide_halo_plan, make_dist_swegnn_wide)
+
+    n, f, parts = 64, 8, 4
+    ei = banded_graph(n)
+    e = ei.shape[1]
+    emask = np.ones(e, np.float32)
+    tab, tmask = build_edge_slot_table(ei, emask, n)
+
+    cfg = SWEGNNConfig(static_node_features=f, dynamic_node_features=f,
+                       edge_features=fe, K=5, normalize=True,
+                       with_filter_matrix=True, with_gradient=with_grad,
+                       mlp_layers=2, mlp_activation="prelu")
+    params = init_swegnn(jax.random.PRNGKey(0), cfg)
+    x_s = rng.normal(size=(n, f)).astype(np.float32)
+    x_d = rng.normal(size=(n, f)).astype(np.float32)
+    x_d[rng.random(n) > 0.6] = 0.0
+    ea = rng.normal(size=(e, fe)).astype(np.float32) if fe else None
+
+    src, dst = jnp.asarray(ei[0]), jnp.asarray(ei[1])
+    want = np.asarray(apply_swegnn_block(
+        params, cfg, jnp.asarray(x_s), jnp.asarray(x_d),
+        jnp.asarray(x_s), jnp.asarray(x_d), src, dst,
+        edge_attr=jnp.asarray(ea) if fe else None,
+        agg_table=jnp.asarray(tab), agg_mask=jnp.asarray(tmask)))
+
+    src_slots = np.asarray(jnp.take(src, tab))
+    ea_slots_global = (ea[tab] * tmask[..., None]).astype(np.float32) \
+        if fe else None
+    plan = build_wide_halo_plan(src_slots, tmask, n, parts, width,
+                                ea_slots_global=ea_slots_global)
+    assert plan is not None
+    B, H = plan["block"], plan["halo"]
+    d_max = tab.shape[1]
+    ea_local = (slot_ea_per_part(ea, tab, tmask, parts) if fe
+                else np.zeros((parts, B, d_max, 0), np.float32))
+    ea_ext = (plan["ext_ea"] if fe
+              else np.zeros((parts, 2 * H, d_max, 0), np.float32))
+
+    mesh = make_mesh(2, parts)
+    layer = make_dist_swegnn_wide(mesh, cfg, width, plan["ring_ptr"], H)
+    got = np.asarray(layer(
+        params, jnp.asarray(x_s), jnp.asarray(x_d),
+        jnp.asarray(plan["src_tab"]), jnp.asarray(plan["slot_mask"]),
+        jnp.asarray(ea_local), jnp.asarray(plan["ext_tab"]),
+        jnp.asarray(plan["ext_mask"]), jnp.asarray(ea_ext),
+        jnp.asarray(plan["send_next"]), jnp.asarray(plan["send_prev"])))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 def test_dist_gnn_forward_matches_apply_gnn(rng):
     """Full distributed single-scale model vs the single-device forward."""
     from mswe_gnn_tpu.graph import GraphSpec, build_flood_graph
@@ -118,8 +173,9 @@ def test_dist_gnn_forward_matches_apply_gnn(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
-@pytest.mark.parametrize("overlap", [False, True])
-def test_dist_msgnn_forward_matches_apply_msgnn(rng, overlap):
+@pytest.mark.parametrize("overlap,halo_width", [(False, 1), (True, 1),
+                                                (False, 2)])
+def test_dist_msgnn_forward_matches_apply_msgnn(rng, overlap, halo_width):
     """Distributed multiscale V-cycle (per-scale ring partitions, cross-scale
     pool/unpool halo plans) vs the single-device apply_msgnn. ``overlap=True``
     additionally packs halo references into trailing slots and aggregates
@@ -157,20 +213,28 @@ def test_dist_msgnn_forward_matches_apply_msgnn(rng, overlap):
     params = init_msgnn(jax.random.PRNGKey(2), cfg)
     want = np.asarray(apply_msgnn(params, cfg, graph))
 
-    dist = build_dist_msgnn_inputs(graph, parts, overlap=overlap)
+    dist = build_dist_msgnn_inputs(graph, parts, overlap=overlap,
+                                   halo_width=halo_width)
     assert dist is not None
     n_int = dist.pop("overlap", None)
     n_int_pool = dist.pop("overlap_pool", None)
     n_int_unpool = dist.pop("overlap_unpool", None)
+    wide_meta = dist.pop("wide_meta", None)
     if overlap:
         # the banded test graph has real halo references on every part, so
         # packing must leave at least one interior slot and one halo slot
         assert n_int is not None and 0 < n_int[0] < graph.in_edge_table.shape[1]
         assert n_int_pool is not None and n_int_unpool is not None
+    if halo_width > 1:
+        # the banded test graph's 2-hop closure stays ring-adjacent, so no
+        # scale may silently fall back to per-hop exchanges
+        assert wide_meta is not None and all(m[0] == halo_width
+                                             for m in wide_meta)
     mesh = make_mesh(2, parts)
     fwd = make_dist_msgnn_forward(mesh, cfg, overlap=n_int,
                                   overlap_pool=n_int_pool,
-                                  overlap_unpool=n_int_unpool)
+                                  overlap_unpool=n_int_unpool,
+                                  wide_meta=wide_meta)
     outs = fwd(params, dist)
     got = np.concatenate([np.asarray(o).reshape(-1, 2) for o in outs], axis=0)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
