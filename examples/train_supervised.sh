@@ -58,9 +58,24 @@ while true; do
     echo "[supervisor] relaunching (budget reached)"
     continue
   fi
-  # OOM kill (137), stall kill, or crash: resume from the autosave
-  if [ "$code" -eq 137 ] || [ "$code" -eq 134 ] || [ "$code" -eq 139 ]; then
-    echo "[supervisor] child died with $code; resuming from autosave"
+  # OOM kill (137), stall kill, crash, or an in-process runtime error such
+  # as a device RESOURCE_EXHAUSTED (exit 1): resume from the autosave —
+  # but give up after 3 consecutive resumes with no autosave progress
+  # (a deterministic crash would otherwise loop forever).
+  if [ "$code" -eq 137 ] || [ "$code" -eq 134 ] || [ "$code" -eq 139 ] \
+      || [ "$code" -eq 1 ]; then
+    meta="$OUT/autosave/meta.json"
+    mark=$( [ -f "$meta" ] && stat -c %Y "$meta" || echo 0 )
+    if [ "$mark" != "${last_mark:-}" ]; then
+      fail_count=0
+      last_mark=$mark
+    fi
+    fail_count=$(( ${fail_count:-0} + 1 ))
+    if [ "$fail_count" -gt 3 ]; then
+      echo "[supervisor] child failed $fail_count times without autosave progress; giving up with $code"
+      exit "$code"
+    fi
+    echo "[supervisor] child died with $code; resuming from autosave (attempt $fail_count)"
     continue
   fi
   echo "[supervisor] done with exit $code"

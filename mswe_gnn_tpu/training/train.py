@@ -619,8 +619,21 @@ class Trainer:
     def fit(self, max_epochs: Optional[int] = None, val_every: int = 1):
         opts = self.opts
         max_epochs = max_epochs if max_epochs is not None else opts.max_epochs
+        prev_steps = None
         for epoch in range(self.start_epoch, max_epochs):
             rollout_steps = self.curriculum.on_epoch_start(epoch)
+            if prev_steps is not None and rollout_steps != prev_steps:
+                # curriculum boundary: drop the stale scan-length executables
+                # BEFORE compiling the new one. Each pushforward depth is a
+                # distinct compiled program; on a 16 GB chip the accumulated
+                # executables + compile workspace + the device-resident
+                # dataset can exhaust HBM at the transition (observed:
+                # RESOURCE_EXHAUSTED at epoch 32 = the 2->3 boundary of the
+                # triangulated accuracy corpus, round 5). Costs one
+                # re-compile of the eval/concat programs per boundary.
+                jax.clear_caches()
+                self._dev_plans.clear()
+            prev_steps = rollout_steps
             t0 = time.time()
             watching = (opts.watch_every > 0
                         and epoch % opts.watch_every == 0)
