@@ -13,7 +13,11 @@ import pytest
 
 
 class _FakeRun:
-    def __init__(self):
+    def __init__(self, sweep_id="sweep123"):
+        # a wandb.agent trial run carries its sweep id; MetricLogger only
+        # auto-attaches to sweep runs (ADVICE r4: an unrelated live run must
+        # not silently receive metrics)
+        self.sweep_id = sweep_id
         self.logged = []
         self.summary = {}
         self.finished = False
@@ -59,6 +63,21 @@ def test_logger_attaches_to_active_sweep_run(tmp_path, fake_wandb):
     # ...and the logger did NOT finish a run it does not own (wandb.agent
     # manages the trial lifecycle)
     assert not run.finished
+
+
+def test_logger_ignores_unrelated_live_run(tmp_path, fake_wandb):
+    """ADVICE r4: a live NON-sweep run open in the host process must not
+    silently receive every epoch metric when use_wandb is False."""
+    from mswe_gnn_tpu.utils.logging import MetricLogger
+
+    fake_wandb.run = _FakeRun(sweep_id=None)     # unrelated user run
+    m = MetricLogger(str(tmp_path))
+    m.log({"epoch": 0, "val_loss": 1.0})
+    m.summary({"test_CSI_005": 0.6})
+    m.close()
+    assert fake_wandb.run.logged == []
+    assert fake_wandb.run.summary == {}
+    assert not fake_wandb.run.finished
 
 
 def test_logger_owns_run_when_asked(tmp_path, fake_wandb):
