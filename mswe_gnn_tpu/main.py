@@ -217,6 +217,11 @@ def trainer_options(cfg: Dict) -> TrainerOptions:
         max_epochs=to["max_epochs"],
         best_metric=to.get("best_metric", "val_CSI_005"),
         watch_every=int(to.get("watch_every", 0)),
+        # rematerialize the pushforward forward (activation memory ~1/K at
+        # ~30% step cost) — required on 16 GB chips when corpus padding x
+        # batch x rollout depth outgrow HBM (observed: the triangulated
+        # accuracy corpus OOMs at the 2->3 curriculum boundary without it)
+        remat=bool(to.get("remat", False)),
         max_rollout_steps=cfg["temporal_dataset_parameters"]["rollout_steps"],
         learning_rate=lr["learning_rate"], weight_decay=lr["weight_decay"],
         gamma=lr["gamma"], step_size=lr["step_size"])
