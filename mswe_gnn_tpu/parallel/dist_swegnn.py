@@ -426,7 +426,7 @@ def _dist_layer_wide(params, cfg: SWEGNNConfig, x_s, x_d, plan: dict,
             if cd is not None:
                 agg = agg.astype(cd)
             new_out = out + agg
-            if j < w - 1:
+            if j < w - 1 and s_ext is not None and ring_ptr[w - 1 - j] > 0:
                 pfx = ring_ptr[w - 1 - j]    # rings needed by remaining hops
                 parts = []
                 for base in (0, H):          # prev side, next side
