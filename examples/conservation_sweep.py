@@ -39,6 +39,8 @@ def main(argv=None):
                     help="checkpoint dir to fine-tune from (accuracy run)")
     ap.add_argument("--lr", type=float, default=None,
                     help="override learning rate (lower for fine-tunes)")
+    ap.add_argument("--deadline", type=float, default=None,
+                    help="unix time after which no NEW arm is started")
     args = ap.parse_args(argv)
 
     _setup_cache()
@@ -78,7 +80,12 @@ def main(argv=None):
     lambdas = [l for l in lambdas if l not in done]
     if done:
         print(f"existing arms: {sorted(done)}; running {lambdas}", flush=True)
+    import time as _time
+
     for lam in lambdas:
+        if args.deadline and _time.time() > args.deadline:
+            print(f"deadline passed; not starting lambda={lam}", flush=True)
+            break
         cfg = copy.deepcopy(base)
         cfg["trainer_options"]["conservation"] = lam
         out_dir = f"runs/cons_sweep_{lam:g}"

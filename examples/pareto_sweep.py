@@ -53,6 +53,9 @@ def main(argv=None):
     ap.add_argument("--grid", default=None,
                     help="e.g. K2F16,K3F32 (default: K{2..5} x F{16,32,64})")
     ap.add_argument("--out", default="results_repo/pareto.csv")
+    ap.add_argument("--deadline", type=float, default=None,
+                    help="unix time after which no NEW config is started "
+                         "(finished rows are already on disk)")
     args = ap.parse_args(argv)
 
     _setup_cache()
@@ -65,11 +68,16 @@ def main(argv=None):
             for row in csv.DictReader(f):
                 done[(int(row["K"]), int(row["hid_features"]))] = row
 
+    import time as _time
+
     model = base.get("models", {}).get("model_type", "MSGNN")
     for k, f in grid:
         if (k, f) in done:
             print(f"K{k}F{f}: already recorded, skipping", flush=True)
             continue
+        if args.deadline and _time.time() > args.deadline:
+            print(f"deadline passed; not starting K{k}F{f}", flush=True)
+            break
         cfg = copy.deepcopy(base)
         cfg["models"]["K"] = k
         cfg["models"]["hid_features"] = f

@@ -25,6 +25,7 @@ fi
 # 2. single-scale SWE-GNN study (VERDICT r4 missing #1)
 python -u examples/pareto_sweep.py --config configs/pareto_gnn.yaml \
   --grid K5F64,K10F64,K15F64,K18F64 --out results_repo/pareto_gnn.csv \
+  --deadline 1787346300 \
   || echo "[post5] gnn study failed"
 
 # 3. combined front figure + k-hops diagnostic (CPU)
@@ -35,6 +36,7 @@ JAX_PLATFORMS=cpu python -u examples/combined_front.py \
 #    largest-first so a cutoff records the capacity-deciding configs
 python -u examples/pareto_sweep.py --config configs/pareto.yaml \
   --grid K4F64,K4F32,K2F32,K4F16,K2F16 --out results_repo/pareto.csv \
+  --deadline 1787346300 \
   || echo "[post5] pareto completion failed"
 
 # 5. conservation-sweep confirmation arms (VERDICT r4 #7): >=30-epoch
@@ -43,8 +45,10 @@ python -u examples/pareto_sweep.py --config configs/pareto.yaml \
 rm -rf runs/cons_sweep_0.0536 runs/cons_sweep_0.0233
 python -u examples/conservation_sweep.py --config configs/accuracy2.yaml \
   --warm-start results_repo/checkpoints/accuracy2_r4/autosave/best_val \
-  --epochs 30 --lr 0.0005 --lambdas 0.0536,0.0233 \
+  --epochs 30 --lr 0.0005 --lambdas 0.0536,0.0233 --deadline 1787344500 \
   --out results_repo/conservation_sweep_full.json \
   || echo "[post5] conservation arms failed"
 
+# deadlines: no new chip job after 21:05 UTC (conservation arms 20:35)
+# so the driver's end-of-round bench runs on a quiet chip
 echo "[post5] done"
