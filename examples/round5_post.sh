@@ -22,6 +22,12 @@ if [ -f runs/accuracy_tri/summary.json ]; then
     || echo "[post5] test_report failed"
 fi
 
+# 1b. smoke the round-5 bench additions on the real chip (roofline mix +
+#     batch_opt sections) long before the driver's end-of-round capture
+BENCH_TRAIN=0 BENCH_SCALING_MAX=4 timeout 2400 python -u bench.py \
+  > /tmp/bench_smoke_r5.log 2>&1 \
+  && echo "[post5] bench smoke ok" || echo "[post5] BENCH SMOKE FAILED"
+
 # 2. single-scale SWE-GNN study (VERDICT r4 missing #1)
 python -u examples/pareto_sweep.py --config configs/pareto_gnn.yaml \
   --grid K5F64,K10F64,K15F64,K18F64 --out results_repo/pareto_gnn.csv \
