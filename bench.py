@@ -532,7 +532,10 @@ def main():
         # powers of two up to BENCH_SCALING_MAX, plus the cap itself when it
         # is not a power of two (BENCH_SCALING_MAX=20 really measures batch
         # 20, the reference's deepest point — ADVICE r4)
-        smax = int(os.environ.get("BENCH_SCALING_MAX", "8"))
+        # default 20 = the reference's deepest batch point
+        # (results/batch_prediction_times.csv); compiles are cached in
+        # .jax_cache from the round-5 runs, so the deep curve costs ~1 min
+        smax = int(os.environ.get("BENCH_SCALING_MAX", "20"))
         bs, b = [], 2
         while b <= smax:
             bs.append(b)
