@@ -1,10 +1,18 @@
-"""Batched-hop gather microbench — decides the round-5 batching vehicle.
+"""Batched-hop gather microbench — the round-5 batching-vehicle data.
 
 Round-4 root cause (results_repo/rollout_profile_r4.json): the concat-union
 batch table outgrows the gather unit's VMEM staging sweet spot past ~92k rows
 (batch 4), so the batch curve inverts at batch 8. This measures the three
 candidate hop formulations at the real dk15 finest-scale shape (n=23168,
 F=64, D=4 ELL slots, bf16):
+
+OUTCOME (results_repo/batch_gather_microbench.json + ROADMAP r5): vmap
+batching loses 2.3x at every batch; per-graph 'sliced' wins THIS bare
+microbench at b=8 (+29%) but the advantage does not transfer to the real
+rollout, where XLA fuses the gathers into the flux elementwise chain —
+chunked hops measured at three granularities all lose to the fused
+single-block hop (models/swegnn.py HOP_CHUNK_TARGET_ROWS comment). Kept as
+the decision record and for re-probing other table-size regimes.
 
   concat   — one [b*n, F] state, D gathers of b*n rows     (current path)
   batched  — [b, n, F] state, D vmapped gathers (XLA batched gather)
