@@ -85,6 +85,37 @@ def test_concat_forward_equals_per_graph_chunked_hop():
                 err_msg=f"graph {gi} scale {s} (chunked hop)")
 
 
+def test_chunked_hop_gradients_match():
+    """Gradients through the chunked hop (mode='clip' gathers) must equal
+    the single-block path's: clipped padding-slot gathers backprop zeros
+    (their flux mask kills the upstream cotangent)."""
+    import jax
+
+    from mswe_gnn_tpu.models import swegnn as swegnn_mod
+
+    samples, _ = make_samples(rollout=2)
+    g_list = samples[:3]
+    cfg, params = make_model(g_list[0], K=2, hid=8)
+    union = concat_graphs(g_list)
+    opts = TrainerOptions(batch_size=3)
+
+    def loss_fn(p):
+        return pushforward_loss(apply_msgnn, p, cfg, union, 2, opts, True)
+
+    g_ref = jax.grad(loss_fn)(params)
+    old = swegnn_mod.HOP_CHUNK_TARGET_ROWS
+    swegnn_mod.HOP_CHUNK_TARGET_ROWS = 1
+    try:
+        g_chunk = jax.grad(loss_fn)(params)
+    finally:
+        swegnn_mod.HOP_CHUNK_TARGET_ROWS = old
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    flat_c = jax.tree_util.tree_leaves(g_chunk)
+    for a, b in zip(flat_r, flat_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+
+
 def test_concat_loss_equals_vmap_loss():
     samples, _ = make_samples(rollout=2)
     g_list = samples[:4]
